@@ -1,0 +1,84 @@
+"""Native reader for Jellyfish ``.jf`` count-table files.
+
+km reaches these files only through the external C++ ``dna_jellyfish``
+bindings (reference: km/utils/Jellyfish.py:24-53). km_tpu decodes the
+format directly so existing tables keep working with zero native deps.
+
+On-disk format (verified against the five fixtures in
+/root/reference/data/jf):
+
+- bytes 0..8: 9 ASCII digits, the padded JSON header length ``H``
+- bytes 9..9+H: a JSON object (possibly followed by padding so that
+  ``9+H`` is 8-byte aligned) with at least ``key_len`` (bits; k = key_len/2),
+  ``counter_len`` (bytes), ``canonical`` (bool), ``format`` ("binary/sorted")
+- records from offset ``9+H``: ``(key_len+63)//64*8`` bytes of little-endian
+  2-bit packed k-mer (leftmost base in the highest bit pair) followed by
+  ``counter_len`` bytes of little-endian count.
+
+Records are ordered by Jellyfish's internal matrix hash, NOT
+lexicographically; callers should re-sort (CountTable does).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class JFData:
+    """Decoded contents of a .jf file."""
+
+    k: int
+    canonical: bool
+    keys: np.ndarray  # uint64, packed k-mers, file order
+    counts: np.ndarray  # uint32
+    header: dict = field(repr=False, default_factory=dict)
+
+
+def read_header(path: str) -> dict:
+    """Parse the JSON header of a .jf file leniently (the declared header
+    length includes alignment padding after the JSON object)."""
+    with open(path, "rb") as f:
+        hlen = int(f.read(9).decode("ascii"))
+        raw = f.read(hlen).decode("ascii", errors="ignore")
+    obj, _ = json.JSONDecoder().raw_decode(raw)
+    obj["_data_offset"] = 9 + hlen
+    return obj
+
+
+def read_jf(path: str) -> JFData:
+    """Decode all records of a .jf file into packed-key/count arrays."""
+    header = read_header(path)
+    if header.get("format") != "binary/sorted":
+        raise ValueError(
+            f"{path}: unsupported .jf format {header.get('format')!r} "
+            "(only binary/sorted is supported)"
+        )
+    key_len = int(header["key_len"])  # bits
+    counter_len = int(header["counter_len"])  # bytes
+    k = key_len // 2
+    if k > 32:
+        raise ValueError(f"{path}: k={k} > 32 not supported by the 64-bit key path")
+    key_bytes = (key_len + 63) // 64 * 8
+    rec = key_bytes + counter_len
+    offset = header.pop("_data_offset")
+
+    with open(path, "rb") as f:
+        f.seek(offset)
+        data = f.read()
+    n = len(data) // rec
+    if n * rec != len(data):
+        raise ValueError(f"{path}: trailing {len(data) - n * rec} bytes after {n} records")
+
+    raw = np.frombuffer(data[: n * rec], dtype=np.uint8).reshape(n, rec)
+    # key: little-endian uint64 (key_bytes == 8 for all k <= 32)
+    keys = raw[:, :8].copy().view("<u8").reshape(n)
+    counts = np.zeros(n, dtype=np.uint32)
+    for b in range(counter_len):
+        counts |= raw[:, key_bytes + b].astype(np.uint32) << np.uint32(8 * b)
+
+    return JFData(k=k, canonical=bool(header["canonical"]), keys=keys,
+                  counts=counts, header=header)
