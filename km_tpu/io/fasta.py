@@ -36,8 +36,8 @@ def parse_header_attrs(header: str) -> dict[str, str]:
     """``>loc | k=v | ...`` -> {'location': loc, k: v, ...}."""
     attrs: dict[str, str] = {}
     for part in header.replace(">", "location=", 1).split("|"):
-        key, value = part.split("=")
-        attrs[key.strip()] = value.strip()
+        pieces = part.split("=")
+        attrs[pieces[0].strip()] = pieces[1].strip()
     return attrs
 
 

@@ -1,0 +1,233 @@
+"""VariantFinder: end-to-end analysis of one target against one count
+table — discovery walk, overlap graph, alternative-path enumeration,
+quantification (individual + clustered), classification and row output.
+
+Orchestration equivalent of km's MutationFinder
+(reference: km/utils/MutationFinder.py:87-833), rebuilt on packed-key
+sequences, sparse graphs and batched lookups. Scientific semantics are
+preserved rule-for-rule; see the per-module docstrings for the exact
+correspondences.
+"""
+
+from __future__ import annotations
+
+import logging as log
+
+import numpy as np
+
+from ..utils.natsort import natsortkey
+from . import classify
+from .pathfinder import OverlapGraph
+from .quant import PathQuant, PathRow
+from .sequence import TargetSeq
+from .walk import Walker
+
+
+class VariantFinder:
+    def __init__(self, target: TargetSeq, table, ratio=0.05, count=5,
+                 max_stack=500, max_break=10, max_node=10000):
+        self.target = target
+        self.table = table
+        self.k = table.k
+
+        walker = Walker(table, ratio=ratio, count=count, max_stack=max_stack,
+                        max_break=max_break, max_node=max_node)
+        node_data = walker.discover(target.ref_mer)
+
+        # node-id space: discovered k-mers in insertion order, then the two
+        # cap nodes (source, sink) — counts use a -1 sentinel for caps,
+        # deliberately kept inside the quantification count vector exactly
+        # like km (MutationFinder.py:122-123).
+        self.keys = list(node_data.keys())
+        self.counts = list(node_data.values()) + [-1, -1]
+        self.num_k = len(self.keys) + 2
+        log.info("k-mer graph contains %d nodes.", self.num_k)
+
+        self._node_index = {key: i for i, key in enumerate(self.keys)}
+        self.target.set_index(self._node_index)
+        self.start_ix = self._node_index[target.first_kmer]
+        self.end_ix = self._node_index[target.last_kmer]
+        self.rows: list[PathRow] = []
+        self.alt_paths: list[tuple[int, ...]] | None = None
+
+    # -- graph -------------------------------------------------------------
+
+    def find_alt_paths(self) -> None:
+        """Build the overlap graph and enumerate candidate paths."""
+        g = OverlapGraph(self.keys, self.k)
+        ref_ix = self.target.seq_index
+        for a, b in zip(ref_ix[:-1], ref_ix[1:]):
+            g.set_edge(a, b, 0.01)
+        g.set_edge(g.first_node, self.start_ix, 0.01)
+        g.set_edge(self.end_ix, g.last_node, 0.01)
+        g.init_paths()
+        # strip cap nodes from the spliced paths
+        self.alt_paths = [p[1:-1] for p in g.all_shortest()]
+
+    # -- helpers -----------------------------------------------------------
+
+    def path_counts(self, path) -> list[int]:
+        return [self.counts[i] for i in path]
+
+    def path_seq(self, path, skip_prefix=True) -> str:
+        return classify.merge_kmers(self.keys, path, self.k,
+                                    skip_prefix=skip_prefix)
+
+    def variant_name(self, ref_ix, path_ix, offset=0) -> str:
+        return classify.name_variant(self.keys, ref_ix, path_ix, self.k,
+                                     offset=offset)
+
+    # -- quantification ----------------------------------------------------
+
+    def quantify_paths(self, graphical: bool = False) -> None:
+        """Quantify each alternative path independently against the
+        reference path (Info tag ``vs_ref``)."""
+        assert self.alt_paths is not None, "call find_alt_paths() first"
+        ref_ix = self.target.seq_index
+
+        if graphical:
+            self._plot_paths()
+
+        for alt_ix in self.alt_paths:
+            log.info("Quantifying %s", self.target.name)
+            quant = PathQuant(all_paths=[alt_ix, ref_ix], counts=self.counts)
+            quant.compute_coef()
+            quant.refine_coef()
+            quant.get_ratio()
+            if alt_ix == ref_ix:
+                quant.adjust_for_reference()
+
+            rvaf, ref_rvaf = quant.rVAF
+            coef, ref_coef = quant.coef
+            self.rows.append(PathRow(
+                self.table.name, self.target.name,
+                self.variant_name(ref_ix, alt_ix),
+                rvaf, coef, min(self.path_counts(alt_ix)), 0,
+                self.path_seq(alt_ix, skip_prefix=False),
+                ref_rvaf, ref_coef,
+                self.path_seq(ref_ix, skip_prefix=False),
+                "vs_ref",
+            ))
+
+    def _find_clusters(self, alt_paths):
+        """Group overlapping variants and clip sequence windows around
+        them (semantics of km/utils/MutationFinder.py:651-723; terminal
+        and quasi-terminal ITDs are excluded from clustering)."""
+        ref_ix = self.target.seq_index
+        diffs = [classify.diff_paths(ref_ix, p, self.k) for p in alt_paths]
+        variant_set = set(range(len(alt_paths)))
+
+        def get_intersect(start, stop):
+            for var in sorted(variant_set):
+                cur_start = diffs[var].start
+                cur_end = diffs[var].end_ref
+                if cur_end >= start and cur_start <= stop:
+                    if start == stop == cur_start == cur_end:
+                        log.info("Terminal ITD ignored in cluster mode.")
+                    elif stop == cur_end and (start == stop
+                                              or cur_start == cur_end):
+                        log.info("Quasi-terminal ITD ignored in cluster mode.")
+                    else:
+                        return var
+            return -1
+
+        groups = []
+        while variant_set:
+            seed = min(variant_set)
+            variant_set.discard(seed)
+            grp = [seed]
+            start = diffs[seed].start
+            stop = diffs[seed].end_ref
+            var = get_intersect(start, stop)
+            while var != -1:
+                variant_set.remove(var)
+                grp.append(var)
+                start = min(start, diffs[var].start)
+                stop = max(stop, diffs[var].end_ref)
+                var = get_intersect(start, stop)
+            groups.append((start, stop, grp))
+
+        for start, stop, grp in groups:
+            if len(grp) == 1 and alt_paths[grp[0]] == ref_ix:
+                continue
+            var_diffs = [diffs[v] for v in grp]
+            var_size = max(abs(d.end_var - d.end_ref + 1) for d in var_diffs)
+            offset = max(0, start - var_size)
+            ref_path = tuple(ref_ix[offset:stop])
+            clipped = []
+            for v in grp:
+                d = diffs[v]
+                stop_off = d.end_var + stop - d.end_ref
+                clipped.append(tuple(alt_paths[v][offset:stop_off]))
+            yield (ref_path, clipped, offset)
+
+    def quantify_clusters(self, graphical: bool = False) -> None:
+        """Joint quantification of overlapping variants on clipped
+        windows (Info tag ``cluster i n=j``)."""
+        assert self.alt_paths is not None, "call find_alt_paths() first"
+        clusters = list(self._find_clusters(self.alt_paths))
+
+        for i, (ref_path, clipped, start_off) in enumerate(clusters):
+            num_cluster = i + 1
+            log.info("Quantifying %s in cluster mode", self.target.name)
+            if graphical:
+                self._plot_cluster(ref_path, clipped, start_off)
+
+            quant = PathQuant(all_paths=[ref_path] + clipped,
+                              counts=self.counts)
+            quant.compute_coef()
+            quant.refine_coef()
+            quant.get_ratio()
+
+            ref_rvaf, paths_rvaf = quant.rVAF[0], quant.rVAF[1:]
+            ref_coef, paths_coef = quant.coef[0], quant.coef[1:]
+
+            for path, rvaf, coef in zip(clipped, paths_rvaf, paths_coef):
+                assert path != ref_path
+                self.rows.append(PathRow(
+                    self.table.name, self.target.name,
+                    self.variant_name(ref_path, path, start_off),
+                    rvaf, coef, min(self.path_counts(path)), start_off,
+                    self.path_seq(path, skip_prefix=False),
+                    ref_rvaf, ref_coef,
+                    self.path_seq(ref_path, skip_prefix=False),
+                    "cluster %d n=%d" % (num_cluster, len(clipped)),
+                ))
+
+    # -- output ------------------------------------------------------------
+
+    def sorted_rows(self) -> list[PathRow]:
+        """Rows ordered by (Info descending, Query, Variant_name, Type,
+        Min_coverage) under natural sort — 'vs_ref' rows come before
+        'cluster' rows (reference: km/utils/MutationFinder.py:813-833)."""
+        return sorted(
+            self.rows,
+            key=lambda x: natsortkey(*x[11].split(" "), x[1], x[3], x[2],
+                                     x[6], rev_ix=(0,)),
+        )
+
+    # -- optional plots ----------------------------------------------------
+
+    def _plot_paths(self):
+        import matplotlib.pyplot as plt
+
+        ref_ix = self.target.seq_index
+        plt.figure(figsize=(10, 6))
+        for alt_ix in self.alt_paths:
+            plt.plot(self.path_counts(alt_ix),
+                     label=self.variant_name(ref_ix, alt_ix)
+                     .replace("\t", " ") + " (%s)" % self.target.name)
+        plt.legend()
+        plt.show()
+
+    def _plot_cluster(self, ref_path, clipped, start_off):
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(10, 6))
+        plt.plot(self.path_counts(ref_path), label="Reference")
+        for path in clipped:
+            plt.plot(self.path_counts(path),
+                     label=self.variant_name(ref_path, path, start_off)
+                     .split("\t")[0])
+        plt.legend()
+        plt.show()

@@ -1,0 +1,179 @@
+"""K-mer counting kernels.
+
+The TPU-native replacement for ``jellyfish count``'s lock-free hash table:
+counting is a *sort + segment-reduce* — the canonical deterministic
+formulation for XLA (no scatter contention, no atomics, bit-reproducible
+regardless of batch order within a chunk).
+
+Device pipeline per fixed-size batch of concatenated read bases:
+  codes (uint8) + validity mask
+  -> sliding-window pack into (hi, lo) uint32 key pairs (31 fused
+     shift/or vector ops; the 64-bit key is split because JAX runs with
+     32-bit types on TPU by default)
+  -> reverse-complement via a second pack over the reversed complemented
+     codes, lexicographic min for canonical form
+  -> invalid windows forced to a sentinel key that sorts last with
+     weight 0
+  -> lax.sort (2 keys, lexicographic) + run-boundary detection +
+     segment-sum of weights
+Host code merges per-batch (uint64 key, count) runs.
+
+Counts per batch are exact; merging is associative, so multi-batch /
+multi-host results are independent of partitioning. The sharded
+multi-host variant (all-to-all by key prefix) lives in km_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import encode
+
+
+# ---------------------------------------------------------------------------
+# host (numpy) reference implementation
+
+
+def window_valid(valid: np.ndarray, k: int) -> np.ndarray:
+    """valid[i:i+k].all() for every window, via prefix sums."""
+    cnt = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+    return (cnt[k:] - cnt[:-k]) == k
+
+
+def count_batches_host(batches, k: int, canonical: bool = True,
+                       min_count: int = 1):
+    """Count k-mers over (codes, valid) batches on the host."""
+    acc_keys = np.empty(0, dtype=np.uint64)
+    acc_counts = np.empty(0, dtype=np.int64)
+    for codes, valid in batches:
+        if codes.size < k:
+            continue
+        keys = encode.pack_code_windows(codes, k)
+        keys = keys[window_valid(valid, k)]
+        if canonical:
+            keys = encode.canonical(keys, k)
+        uk, uc = np.unique(keys, return_counts=True)
+        acc_keys, acc_counts = merge_runs(acc_keys, acc_counts, uk, uc)
+    keep = acc_counts >= min_count
+    return acc_keys[keep], acc_counts[keep].astype(np.uint32)
+
+
+def merge_runs(k1, c1, k2, c2):
+    """Merge two sorted (key, count) runs, summing duplicate keys."""
+    if not len(k1):
+        return k2, c2.astype(np.int64)
+    keys = np.concatenate([k1, k2])
+    counts = np.concatenate([c1.astype(np.int64), c2.astype(np.int64)])
+    order = np.argsort(keys, kind="stable")
+    keys, counts = keys[order], counts[order]
+    new_run = np.empty(len(keys), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = keys[1:] != keys[:-1]
+    run_id = np.cumsum(new_run) - 1
+    out_keys = keys[new_run]
+    out_counts = np.zeros(len(out_keys), dtype=np.int64)
+    np.add.at(out_counts, run_id, counts)
+    return out_keys, out_counts
+
+
+# ---------------------------------------------------------------------------
+# device (JAX) implementation
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def pack_windows_device(codes, k: int):
+    """codes (uint32, int-valued 0..3) -> (hi, lo) uint32 key pairs for all
+    n-k+1 windows. hi holds the first k-16 bases (0 if k <= 16), lo the
+    last min(k,16) bases."""
+    jnp = _jnp()
+    n = codes.shape[0] - k + 1
+    lo_bases = min(k, 16)
+    hi_bases = k - lo_bases
+    lo = jnp.zeros((n,), jnp.uint32)
+    for j in range(lo_bases):  # bases hi_bases .. k-1
+        lo = (lo << jnp.uint32(2)) | codes[hi_bases + j : hi_bases + j + n]
+    hi = jnp.zeros((n,), jnp.uint32)
+    for j in range(hi_bases):
+        hi = (hi << jnp.uint32(2)) | codes[j : j + n]
+    return hi, lo
+
+
+def canonical_device(hi, lo, rc_hi, rc_lo):
+    jnp = _jnp()
+    take_rc = (rc_hi < hi) | ((rc_hi == hi) & (rc_lo < lo))
+    return jnp.where(take_rc, rc_hi, hi), jnp.where(take_rc, rc_lo, lo)
+
+
+def count_chunk_device(codes, valid, k: int, canonical: bool = True):
+    """Jittable: fixed-size code chunk -> sorted unique (hi, lo) keys with
+    counts; invalid windows collapse onto a trailing sentinel run with
+    weight 0. Returns (hi, lo, counts) of length n_windows."""
+    import jax
+    jnp = _jnp()
+
+    codes = codes.astype(jnp.uint32)
+    valid_i = valid.astype(jnp.int32)
+    n = codes.shape[0] - k + 1
+
+    hi, lo = pack_windows_device(codes, k)
+    if canonical:
+        rc_codes = (jnp.uint32(3) - codes)[::-1]
+        rhi, rlo = pack_windows_device(rc_codes, k)
+        hi, lo = canonical_device(hi, lo, rhi[::-1], rlo[::-1])
+
+    cnt = jnp.cumsum(valid_i)
+    wv = (cnt[k - 1 :] - jnp.concatenate([jnp.zeros(1, jnp.int32), cnt[: n - 1]])) == k
+
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    hi = jnp.where(wv, hi, sentinel)
+    lo = jnp.where(wv, lo, sentinel)
+    weight = wv.astype(jnp.int32)
+
+    shi, slo, sw = jax.lax.sort((hi, lo, weight), num_keys=2)
+    new_run = jnp.concatenate([
+        jnp.ones(1, dtype=bool),
+        (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
+    ])
+    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+    counts = jax.ops.segment_sum(sw, run_id, num_segments=n)
+    run_keys_hi = jax.ops.segment_max(shi, run_id, num_segments=n)
+    run_keys_lo = jax.ops.segment_max(slo, run_id, num_segments=n)
+    return run_keys_hi, run_keys_lo, counts
+
+
+def count_batches_device(batches, k: int, canonical: bool = True,
+                         min_count: int = 1, chunk: int = 1 << 22):
+    """Count k-mers over (codes, valid) host batches using the device
+    kernel, merging per-chunk runs on the host."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(count_chunk_device, static_argnames=("k", "canonical"))
+
+    acc_keys = np.empty(0, dtype=np.uint64)
+    acc_counts = np.empty(0, dtype=np.int64)
+    for codes, valid in batches:
+        if codes.size < k:
+            continue
+        if codes.size != chunk:  # pad to the compiled shape
+            pad = chunk - codes.size % chunk if codes.size % chunk else 0
+            codes = np.concatenate([codes, np.zeros(pad, np.uint8)])
+            valid = np.concatenate([valid, np.zeros(pad, bool)])
+        for off in range(0, codes.size, chunk):
+            c = jnp.asarray(codes[off:off + chunk])
+            v = jnp.asarray(valid[off:off + chunk])
+            hi, lo, counts = fn(c, v, k=k, canonical=canonical)
+            hi = np.asarray(hi, dtype=np.uint64)
+            lo = np.asarray(lo, dtype=np.uint64)
+            counts = np.asarray(counts)
+            keep = counts > 0
+            keys = (hi[keep] << np.uint64(32)) | lo[keep]
+            acc_keys, acc_counts = merge_runs(acc_keys, acc_counts,
+                                              keys, counts[keep])
+    keep = acc_counts >= min_count
+    return acc_keys[keep], acc_counts[keep].astype(np.uint32)

@@ -1,0 +1,39 @@
+"""count: build a k-mer count table from FASTQ/FASTA reads.
+
+Replaces the external ``jellyfish count`` step of km's pipeline
+(reference: example/run_leucegene.sh:22). Counting runs on the TPU via
+sort + segment reduction (km_tpu.ops.count) or on the host (numpy) for
+small inputs / machines without an accelerator.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from ..io.fastq import read_batches
+from ..models.table import CountTable
+from ..ops import count as opcount
+
+
+def main_count(args, argparser):
+    t0 = time.time()
+    batches = read_batches(args.reads_fn, min_quality=args.min_quality)
+
+    use_device = args.device in ("auto", "tpu", "cpu")
+    if use_device:
+        keys, counts = opcount.count_batches_device(
+            batches, args.k, canonical=args.canonical,
+            min_count=args.min_count)
+    else:
+        keys, counts = opcount.count_batches_host(
+            batches, args.k, canonical=args.canonical,
+            min_count=args.min_count)
+
+    table = CountTable.from_arrays(keys, counts, args.k, args.canonical,
+                                   name=args.output, presorted=True)
+    table.save(args.output)
+    dt = time.time() - t0
+    sys.stderr.write(
+        "counted %d distinct k-mers (k=%d) in %.2fs -> %s\n"
+        % (table.n_kmers, args.k, dt, args.output))

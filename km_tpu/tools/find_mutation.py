@@ -1,0 +1,66 @@
+"""find_mutation: identify and quantify variants for targets vs a count
+table. Output format (arg echo, 12-column TSV, elapsed-time footer) is
+byte-compatible with km (reference: km/tools/find_mutation.py:17-60).
+"""
+
+from __future__ import annotations
+
+import logging as log
+import os
+import sys
+import time
+
+from ..io.fasta import expand_target_files, read_target
+from ..models.finder import VariantFinder
+from ..models.quant import PathRow
+from ..models.sequence import TargetSeq
+from ..models.table import CountTable
+
+
+def load_table(path: str) -> CountTable:
+    """Open a count table: .jf (Jellyfish) or .npz (km_tpu native)."""
+    if path.endswith(".npz"):
+        t = CountTable.load(path)
+        t.name = path
+        return t
+    return CountTable.from_jf(path)
+
+
+def main_find_mut(args, argparser):
+    time_start = time.time()
+
+    if args.verbose:
+        log.basicConfig(level=log.INFO, format="VERBOSE: %(message)s")
+    if args.debug:
+        log.basicConfig(level=log.DEBUG, format="VERBOSE: %(message)s")
+
+    for key, value in vars(args).items():
+        sys.stdout.write("#" + str(key) + ":" + str(value) + "\n")
+
+    table = load_table(args.jellyfish_fn)
+    table.name = args.jellyfish_fn
+
+    seq_files = expand_target_files(args.target_fn)
+
+    sys.stdout.write(PathRow.HEADER + "\n")
+
+    targets = []
+    for seq_f in seq_files:
+        (ref_name, _ext) = os.path.splitext(os.path.basename(seq_f))
+        seqs, _attrs = read_target(seq_f)
+        # multi-entry targets (exons) concatenate into one sequence
+        targets.append(TargetSeq("".join(seqs), ref_name, table.k))
+
+    for target in targets:
+        finder = VariantFinder(
+            target, table, ratio=args.ratio, count=args.count,
+            max_stack=args.steps, max_break=args.branchs,
+            max_node=args.nodes,
+        )
+        finder.find_alt_paths()
+        finder.quantify_paths(args.graphical)
+        finder.quantify_clusters(args.graphical)
+        for row in finder.sorted_rows():
+            sys.stdout.write(str(row) + "\n")
+
+    sys.stdout.write("#Elapsed time:" + str(time.time() - time_start) + "\n")

@@ -1,0 +1,90 @@
+"""Unit tests: 2-bit packing, reverse complement, canonicalization, .jf
+decoding, CountTable queries and child expansion."""
+
+import numpy as np
+import pytest
+
+from km_tpu.io.jf import read_jf
+from km_tpu.models.table import CountTable
+from km_tpu.ops import encode
+
+from helpers import REFDATA
+
+
+def test_pack_unpack_roundtrip():
+    seq = "ACGTTGCACCAGTCAGATTTGCAGGCATACG"
+    key = encode.pack_kmer(seq)
+    assert encode.unpack_kmer(key, len(seq)) == seq
+
+
+def test_pack_windows():
+    seq = "ACGTAC"
+    keys = encode.pack_kmers(seq, 3)
+    assert [encode.unpack_kmer(k, 3) for k in keys] == \
+        ["ACG", "CGT", "GTA", "TAC"]
+
+
+def test_revcomp():
+    seq = "ACGTTGCACCAGTCAGATTTGCAGGCATACG"
+    rc = seq.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+    keys = np.array([encode.pack_kmer(seq)], dtype=np.uint64)
+    assert encode.unpack_kmer(int(encode.revcomp(keys, 31)[0]), 31) == rc
+    # involution
+    assert int(encode.revcomp(encode.revcomp(keys, 31), 31)[0]) == int(keys[0])
+
+
+def test_revcomp_short_k():
+    for k in (1, 2, 5, 16, 17, 32):
+        rng = np.random.default_rng(k)
+        seqs = ["".join(rng.choice(list("ACGT"), k)) for _ in range(10)]
+        keys = np.array([encode.pack_kmer(s) for s in seqs], dtype=np.uint64)
+        rcs = encode.revcomp(keys, k)
+        for s, r in zip(seqs, rcs):
+            expect = s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+            assert encode.unpack_kmer(int(r), k) == expect
+
+
+def test_canonical_is_min():
+    rng = np.random.default_rng(0)
+    seqs = ["".join(rng.choice(list("ACGT"), 31)) for _ in range(50)]
+    keys = np.array([encode.pack_kmer(s) for s in seqs], dtype=np.uint64)
+    canon = encode.canonical(keys, 31)
+    for s, c in zip(seqs, canon):
+        rc = s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+        assert encode.unpack_kmer(int(c), 31) == min(s, rc)
+
+
+def test_jf_reader_fixture():
+    data = read_jf(f"{REFDATA}/jf/02H025_NPM1.jf")
+    assert data.k == 31
+    assert data.canonical
+    assert len(data.keys) == 1938
+    assert data.counts.max() > 0
+    # keys are already canonical in a canonical table
+    assert (encode.canonical(data.keys, 31) == data.keys).all()
+
+
+def test_query_vs_bruteforce():
+    t = CountTable.from_jf(f"{REFDATA}/jf/02H033_DNMT3A_sub.jf")
+    # every stored key must be found under both orientations
+    for key in t.keys[:50]:
+        seq = encode.unpack_kmer(int(key), t.k)
+        rc = seq.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+        assert t.query(seq) == t.query(rc) > 0
+    assert t.query("A" * 31) == 0
+
+
+def test_children_threshold_grouping():
+    t = CountTable.from_sequences(["ACGTACGGTTCAA" * 5], k=5, canonical=False)
+    key = encode.pack_kmer("ACGTA")
+    kids = t.get_child_keys(key, cutoff=0.05, n_cutoff=1)
+    assert encode.pack_kmer("CGTAC") in kids
+
+
+def test_count_table_save_load(tmp_path):
+    t = CountTable.from_jf(f"{REFDATA}/jf/02H033_DNMT3A_sub.jf")
+    p = str(tmp_path / "t.npz")
+    t.save(p)
+    t2 = CountTable.load(p)
+    assert t2.k == t.k and t2.canonical == t.canonical
+    assert (t2.keys == t.keys).all() and (t2.counts == t.counts).all()

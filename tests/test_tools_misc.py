@@ -1,0 +1,48 @@
+"""Golden tests for linear_kmin and min_cov, plus target-validity checks
+(values from km/tests/test_main.py:555-652)."""
+
+from argparse import Namespace
+
+import pytest
+
+from km_tpu.models.sequence import target_kmers
+from km_tpu.tools.linear_kmin import main_linear_kmin
+from km_tpu.tools.min_cov import main_min_cov
+
+from helpers import REFDATA, run_tool
+
+CATALOG = f"{REFDATA}/catalog/GRCh38"
+
+
+def test_duplicate_kmer_raises():
+    with pytest.raises(ValueError):
+        target_kmers("A" * 32, "not_linear", 31)
+
+
+def test_linear_kmin_flt3():
+    args = Namespace(start=5, target_fn=[f"{CATALOG}/FLT3-ITD_exons_13-15.fa"])
+    out, _ = run_tool(main_linear_kmin, args)
+    assert out.split("\n")[1].split("\t")[1] == "10"
+
+
+def test_linear_kmin_all_catalog():
+    args = Namespace(start=10, target_fn=[CATALOG])
+    out, _ = run_tool(main_linear_kmin, args)
+    rows = [l for l in out.split("\n")[1:] if l]
+    assert len(rows) == 9
+    for r in rows:
+        assert int(r.split("\t")[1]) >= 10
+
+
+def test_min_cov_golden():
+    args = Namespace(jellyfish_fn=[f"{REFDATA}/jf/"],
+                     target_fn=f"{CATALOG}/FLT3-ITD_exons_13-15.fa")
+    out, _ = run_tool(main_min_cov, args)
+    got = {}
+    for line in out.split("\n")[1:]:
+        if line:
+            tok = line.split("\t")
+            got[tok[0].split("/")[-1]] = tok[1:]
+    assert got["02H025_NPM1.jf"] == ["0", "345", "0", "0", "0.00", "315", "315"]
+    assert got["03H112_IandI.jf"] == ["275596", "345", "618", "1368",
+                                      "874.91", "315", "0"]
