@@ -76,6 +76,27 @@ def merge_runs(k1, c1, k2, c2):
     return out_keys, out_counts
 
 
+def chunk_stream(batches, chunk: int, k: int):
+    """Re-chunk (codes, valid) batches into fixed ``chunk``-length pieces
+    overlapping by k-1 bases, so the pieces' windows exactly tile the
+    stream's windows (no boundary k-mer lost, none double-counted).
+    Trailing space is padded with invalid positions."""
+    stride = chunk - k + 1
+    assert stride > 0, "chunk must exceed k"
+    for codes, valid in batches:
+        n_windows = codes.size - k + 1
+        if n_windows <= 0:
+            continue
+        for off in range(0, n_windows, stride):
+            c = codes[off:off + chunk]
+            v = valid[off:off + chunk]
+            if c.size < chunk:
+                pad = chunk - c.size
+                c = np.concatenate([c, np.zeros(pad, np.uint8)])
+                v = np.concatenate([v, np.zeros(pad, bool)])
+            yield c, v
+
+
 # ---------------------------------------------------------------------------
 # device (JAX) implementation
 
@@ -157,23 +178,15 @@ def count_batches_device(batches, k: int, canonical: bool = True,
 
     acc_keys = np.empty(0, dtype=np.uint64)
     acc_counts = np.empty(0, dtype=np.int64)
-    for codes, valid in batches:
-        if codes.size < k:
-            continue
-        if codes.size != chunk:  # pad to the compiled shape
-            pad = chunk - codes.size % chunk if codes.size % chunk else 0
-            codes = np.concatenate([codes, np.zeros(pad, np.uint8)])
-            valid = np.concatenate([valid, np.zeros(pad, bool)])
-        for off in range(0, codes.size, chunk):
-            c = jnp.asarray(codes[off:off + chunk])
-            v = jnp.asarray(valid[off:off + chunk])
-            hi, lo, counts = fn(c, v, k=k, canonical=canonical)
-            hi = np.asarray(hi, dtype=np.uint64)
-            lo = np.asarray(lo, dtype=np.uint64)
-            counts = np.asarray(counts)
-            keep = counts > 0
-            keys = (hi[keep] << np.uint64(32)) | lo[keep]
-            acc_keys, acc_counts = merge_runs(acc_keys, acc_counts,
-                                              keys, counts[keep])
+    for codes, valid in chunk_stream(batches, chunk, k):
+        hi, lo, counts = fn(jnp.asarray(codes), jnp.asarray(valid),
+                            k=k, canonical=canonical)
+        hi = np.asarray(hi, dtype=np.uint64)
+        lo = np.asarray(lo, dtype=np.uint64)
+        counts = np.asarray(counts)
+        keep = counts > 0
+        keys = (hi[keep] << np.uint64(32)) | lo[keep]
+        acc_keys, acc_counts = merge_runs(acc_keys, acc_counts,
+                                          keys, counts[keep])
     keep = acc_counts >= min_count
     return acc_keys[keep], acc_counts[keep].astype(np.uint32)

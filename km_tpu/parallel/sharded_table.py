@@ -1,0 +1,264 @@
+"""Count table sharded across a device mesh.
+
+Sharding model (the scaling-book recipe, applied to k-mer tables):
+
+- the sorted key space is cut into ``n_shards`` contiguous ranges of
+  equal record count; shard s holds keys[range_s] padded with sentinel
+  keys to a common length. Memory per chip = N / n_shards records, so a
+  multi-host slice holds tables far beyond one chip's HBM (a whole
+  RNA-seq sample is ~1e9 records = 12 GB);
+- **lookup**: queries are replicated over the shard axis (all-gather by
+  sharding constraint), each shard binary-searches its local slice and
+  answers hit-or-0, and a ``psum`` over the shard axis combines the
+  disjoint answers. One collective per batched lookup, riding ICI;
+- **counting**: each device counts its own read chunk locally
+  (sort + segment-reduce, km_tpu.ops.count), buckets the resulting
+  (key, count) runs by owner shard, and a fixed-size ``all_to_all``
+  routes every bucket to its owner, which merges into its slice.
+
+km has no distributed runtime to mirror (the reference is a
+single-process tool over one mmapped file); this layer is what makes the
+same workload span a v5e pod slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.device_table import split_keys
+
+SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard",
+              devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# local (per-shard) primitives
+
+
+def _local_lookup(keys_hi, keys_lo, counts, qhi, qlo, rounds: int):
+    """Lower-bound binary search of (qhi, qlo) in the local sorted slice."""
+    n = keys_hi.shape[0]
+    # derive bounds from the query values (not just their shape) so that
+    # inside shard_map they inherit the queries' varying-axis type
+    low = (qhi & jnp.uint32(0)).astype(jnp.int32)
+    high = low + jnp.int32(n)
+
+    def body(_, lh):
+        low, high = lh
+        mid = (low + high) >> 1
+        midc = jnp.minimum(mid, n - 1)
+        mhi = keys_hi[midc]
+        mlo = keys_lo[midc]
+        less = (mhi < qhi) | ((mhi == qhi) & (mlo < qlo))
+        return jnp.where(less, mid + 1, low), jnp.where(less, high, mid)
+
+    low, _ = jax.lax.fori_loop(0, rounds, body, (low, high))
+    pos = jnp.minimum(low, n - 1)
+    hit = (keys_hi[pos] == qhi) & (keys_lo[pos] == qlo)
+    return jnp.where(hit, counts[pos], 0)
+
+
+class ShardedCountTable:
+    """Count table partitioned into equal key ranges across a mesh."""
+
+    def __init__(self, host_table, mesh: Mesh, axis: str = "shard"):
+        self.mesh = mesh
+        self.axis = axis
+        self.k = host_table.k
+        self.canonical = host_table.canonical
+        self.name = host_table.name
+        n_shards = mesh.shape[axis]
+
+        keys = np.asarray(host_table.keys, np.uint64)
+        counts = np.asarray(host_table.counts, np.int64)
+        per = -(-max(len(keys), 1) // n_shards)  # ceil, >= 1
+        pad = per * n_shards - len(keys)
+        hi, lo = split_keys(keys)
+        hi = np.concatenate([hi, np.full(pad, SENTINEL, np.uint32)])
+        lo = np.concatenate([lo, np.full(pad, SENTINEL, np.uint32)])
+        cnts = np.concatenate([counts, np.zeros(pad, np.int64)]).astype(np.int32)
+
+        sharding = NamedSharding(mesh, P(axis))
+        self.keys_hi = jax.device_put(hi, sharding)
+        self.keys_lo = jax.device_put(lo, sharding)
+        self.counts = jax.device_put(cnts, sharding)
+        self.per_shard = per
+        self.rounds = max(1, int(np.ceil(np.log2(max(per, 2)))) + 1)
+        # boundary = first key of each shard (host copy, for routing)
+        starts = np.arange(n_shards) * per
+        self.boundaries = (keys[np.minimum(starts, max(len(keys) - 1, 0))]
+                           if len(keys) else np.zeros(n_shards, np.uint64))
+
+        self._lookup = self._build_lookup()
+
+    def _build_lookup(self):
+        axis = self.axis
+        rounds = self.rounds
+
+        def kernel(keys_hi, keys_lo, counts, qhi, qlo):
+            # queries arrive replicated; mark them device-varying so the
+            # search loop carry (which mixes in local table data) typechecks
+            qhi = jax.lax.pcast(qhi, (axis,), to="varying")
+            qlo = jax.lax.pcast(qlo, (axis,), to="varying")
+            local = _local_lookup(keys_hi, keys_lo, counts, qhi, qlo, rounds)
+            return jax.lax.psum(local, axis)
+
+        mapped = jax.shard_map(
+            kernel, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(), P()),
+            out_specs=P(),
+        )
+        return jax.jit(mapped)
+
+    def lookup(self, qhi, qlo):
+        """Replicated-query lookup; returns counts (replicated)."""
+        if self.canonical:
+            from ..ops.device_table import canonical_kernel
+
+            qhi, qlo = canonical_kernel(qhi, qlo, k=self.k)
+        return self._lookup(self.keys_hi, self.keys_lo, self.counts,
+                            qhi, qlo)
+
+    def query_packed(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        hi, lo = split_keys(keys.reshape(-1))
+        out = self.lookup(jnp.asarray(hi), jnp.asarray(lo))
+        return np.asarray(out).astype(np.int64).reshape(keys.shape)
+
+
+# ---------------------------------------------------------------------------
+# sharded counting: local count -> all_to_all by owner -> local merge
+
+
+def build_count_exchange(mesh: Mesh, axis: str, chunk: int, k: int,
+                         canonical: bool, bucket_cap: int):
+    """Jitted step: per-device read chunks -> per-device sorted (key,
+    count) runs routed to their owner shard.
+
+    Each device counts its chunk, buckets runs by owner (key high bits),
+    pads each bucket to ``bucket_cap`` and exchanges bucket i to device i
+    with one all_to_all. Returns (hi, lo, count) arrays of shape
+    [n_shards * bucket_cap] per device — the materials each owner merges
+    into its table slice. Dropped-run accounting is returned so callers
+    can detect bucket_cap overflow (raise and retry with a larger cap).
+    """
+    from ..ops.count import count_chunk_device
+
+    n_shards = mesh.shape[axis]
+    shard_bits = max(1, int(np.ceil(np.log2(max(n_shards, 2)))))
+
+    def kernel(codes, valid):
+        hi, lo, counts = count_chunk_device(codes[0], valid[0], k,
+                                            canonical=canonical)
+        owner = (hi >> jnp.uint32(32 - shard_bits)).astype(jnp.int32)
+        owner = jnp.minimum(owner * n_shards >> shard_bits, n_shards - 1)
+        owner = jnp.where(counts > 0, owner, n_shards)  # drop empty runs
+
+        # stable-sort runs by owner, then slot each owner's runs into its
+        # fixed-size bucket
+        order = jnp.argsort(owner, stable=True)
+        owner_s = owner[order]
+        hi_s, lo_s, cnt_s = hi[order], lo[order], counts[order]
+        # rank within owner group
+        idx = jnp.arange(owner.shape[0])
+        group_start = jnp.searchsorted(owner_s, jnp.arange(n_shards + 1))
+        rank = idx - group_start[jnp.minimum(owner_s, n_shards)]
+        keep = (owner_s < n_shards) & (rank < bucket_cap)
+        slot = jnp.where(keep, owner_s * bucket_cap + rank, n_shards * bucket_cap)
+        dropped = jnp.sum((owner_s < n_shards) & (rank >= bucket_cap))
+
+        out_hi = jnp.full((n_shards * bucket_cap + 1,), SENTINEL, jnp.uint32)
+        out_lo = jnp.full((n_shards * bucket_cap + 1,), SENTINEL, jnp.uint32)
+        out_cnt = jnp.zeros((n_shards * bucket_cap + 1,), jnp.int32)
+        out_hi = out_hi.at[slot].set(hi_s)
+        out_lo = out_lo.at[slot].set(lo_s)
+        out_cnt = out_cnt.at[slot].set(cnt_s)
+        bhi = out_hi[:-1].reshape(n_shards, bucket_cap)
+        blo = out_lo[:-1].reshape(n_shards, bucket_cap)
+        bcnt = out_cnt[:-1].reshape(n_shards, bucket_cap)
+
+        # route bucket s to device s (split local axis 0, concat received)
+        rhi = jax.lax.all_to_all(bhi, axis, 0, 0).reshape(-1)
+        rlo = jax.lax.all_to_all(blo, axis, 0, 0).reshape(-1)
+        rcnt = jax.lax.all_to_all(bcnt, axis, 0, 0).reshape(-1)
+
+        # local merge: sort received runs, sum duplicates
+        shi, slo, scnt = jax.lax.sort((rhi, rlo, rcnt), num_keys=2)
+        m = shi.shape[0]
+        new_run = jnp.concatenate([
+            jnp.ones(1, dtype=bool),
+            (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
+        run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
+        merged_cnt = jax.ops.segment_sum(scnt, run_id, num_segments=m)
+        merged_hi = jax.ops.segment_max(shi, run_id, num_segments=m)
+        merged_lo = jax.ops.segment_max(slo, run_id, num_segments=m)
+        return (merged_hi[None], merged_lo[None], merged_cnt[None],
+                dropped[None])
+
+    mapped = jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+    )
+    return jax.jit(mapped)
+
+
+def sharded_count(batches, mesh: Mesh, k: int, axis: str = "shard",
+                  canonical: bool = True, min_count: int = 1,
+                  chunk: int = 1 << 18, bucket_cap: int | None = None):
+    """Count k-mers across the mesh: reads split over devices, table
+    sharded by key range. Returns host (keys, counts)."""
+    from ..ops.count import merge_runs
+
+    n_shards = mesh.shape[axis]
+    if bucket_cap is None:
+        bucket_cap = chunk  # safe upper bound: every window unique
+    step = build_count_exchange(mesh, axis, chunk, k, canonical, bucket_cap)
+
+    from ..ops.count import chunk_stream
+
+    acc_keys = np.empty(0, np.uint64)
+    acc_counts = np.empty(0, np.int64)
+
+    def device_groups():
+        """Group overlapping chunks n_shards at a time (pad with empties)."""
+        group = []
+        for c, v in chunk_stream(batches, chunk, k):
+            group.append((c, v))
+            if len(group) == n_shards:
+                yield group
+                group = []
+        if group:
+            while len(group) < n_shards:
+                group.append((np.zeros(chunk, np.uint8),
+                              np.zeros(chunk, bool)))
+            yield group
+
+    for group in device_groups():
+        c = np.stack([g[0] for g in group])
+        v = np.stack([g[1] for g in group])
+        hi, lo, cnt, dropped = step(jnp.asarray(c), jnp.asarray(v))
+        if int(np.asarray(dropped).sum()):
+            raise RuntimeError("bucket_cap overflow during exchange")
+        hi = np.asarray(hi).reshape(-1).astype(np.uint64)
+        lo = np.asarray(lo).reshape(-1).astype(np.uint64)
+        cnt = np.asarray(cnt).reshape(-1)
+        keep = cnt > 0
+        keys = (hi[keep] << np.uint64(32)) | lo[keep]
+        order = np.argsort(keys, kind="stable")
+        acc_keys, acc_counts = merge_runs(acc_keys, acc_counts,
+                                          keys[order], cnt[keep][order])
+    keep = acc_counts >= min_count
+    return acc_keys[keep], acc_counts[keep].astype(np.uint32)

@@ -1,14 +1,22 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
-paths are exercised without TPU hardware."""
+paths are exercised without TPU hardware.
+
+jax may already be pre-imported by the environment (an 'axon' TPU tunnel
+module), so setting env vars alone is not enough — the platform is also
+forced through jax.config before any backend initializes."""
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

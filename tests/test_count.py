@@ -1,0 +1,90 @@
+"""Counting correctness: device sort+segment-reduce counting equals host
+counting; FASTQ batching respects read boundaries, N bases and quality
+filters; min_count thresholding matches the jellyfish -L recipe."""
+
+import numpy as np
+
+from km_tpu.io.fastq import read_batches
+from km_tpu.models.table import CountTable
+from km_tpu.ops import encode
+from km_tpu.ops.count import (count_batches_device, count_batches_host,
+                              window_valid)
+
+
+def _random_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), n))
+
+
+def test_device_matches_host_counting():
+    rng = np.random.default_rng(7)
+    seq = _random_seq(rng, 50_000)
+    k = 25
+
+    def batches():
+        codes = encode.seq_to_codes(seq)
+        yield codes, np.ones(len(codes), bool)
+
+    hk, hc = count_batches_host(batches(), k)
+    dk, dc = count_batches_device(batches(), k, chunk=1 << 13)
+    assert (hk == dk).all()
+    assert (hc == dc).all()
+
+
+def test_counts_match_direct_table():
+    rng = np.random.default_rng(8)
+    seqs = [_random_seq(rng, 200) for _ in range(50)]
+    k = 15
+
+    def batches():
+        for s in seqs:
+            codes = encode.seq_to_codes(s)
+            yield codes, np.ones(len(codes), bool)
+
+    dk, dc = count_batches_device(batches(), k, chunk=1 << 10)
+    ref = CountTable.from_sequences(seqs, k, canonical=True)
+    assert (dk == ref.keys).all()
+    assert (dc == ref.counts).all()
+
+
+def test_window_valid():
+    valid = np.array([1, 1, 1, 0, 1, 1, 1, 1], dtype=bool)
+    assert (window_valid(valid, 3) == [True, False, False, False, True,
+                                       True]).all()
+
+
+def test_read_batches_boundaries(tmp_path):
+    fq = tmp_path / "r.fq"
+    fq.write_text("@r1\nACGTACGT\n+\nIIIIIIII\n@r2\nTTTTGGGG\n+\nIIII!!II\n")
+    batches = list(read_batches([str(fq)], min_quality="5"))
+    codes, valid = batches[0]
+    # separator between reads
+    assert not valid[8]
+    # low-quality ('!') bases invalidated
+    assert not valid[9 + 4] and not valid[9 + 5]
+    k = 4
+
+    def b():
+        yield codes, valid
+
+    keys, counts = count_batches_host(b(), k, canonical=False)
+    got = {encode.unpack_kmer(int(x), k): int(c) for x, c in zip(keys, counts)}
+    assert "ACGT" in got and got["ACGT"] == 2
+    assert "CGTA" in got
+    assert "TTTT" in got  # first r2 window, all high quality
+    assert "GTTT" not in got  # would span the r1|r2 boundary
+    assert "TTTG" not in got  # includes a low-quality G
+
+
+def test_min_count_filter():
+    seqs = ["ACGTACGTAC", "ACGTACGTAC", "TTTTTTTCCA"]
+
+    def batches():
+        for s in seqs:
+            codes = encode.seq_to_codes(s)
+            yield codes, np.ones(len(codes), bool)
+
+    k1, _ = count_batches_host(batches(), 8, canonical=False, min_count=2)
+    k2, _ = count_batches_host(batches(), 8, canonical=False, min_count=1)
+    assert len(k1) < len(k2)
+    name = encode.pack_kmer("ACGTACGT")
+    assert name in k1
