@@ -1,0 +1,146 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline: k-mers counted per second per chip (the device sort+reduce
+counting kernel, steady state, data resident) — the capability that
+replaces `jellyfish count`. vs_baseline compares against an estimated
+20M k-mers/s for multithreaded Jellyfish on a commodity host (the
+reference publishes no numbers; see BASELINE.md).
+
+Extra fields: catalog walk latency (batched frontier walk of the nine
+GRCh38 targets replicated to 400 against a bundled fixture table) and a
+golden-report equality check.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+JELLYFISH_BASELINE_KMERS_PER_SEC = 20e6
+K = 31
+
+
+def bench_counting(iters: int = 16, chunk: int = 1 << 22):
+    """Sustained device counting throughput.
+
+    Every iteration processes *distinct* data (salted on device) and all
+    results are read back, so neither execution caching nor lazy
+    dispatch in the device tunnel can fake the numbers.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from km_tpu.ops.count import count_chunk_device
+
+    @jax.jit
+    def step(codes, valid, salt):
+        c = ((codes.astype(jnp.int32) + salt) % 4).astype(jnp.uint8)
+        hi, lo, cnt = count_chunk_device(c, valid, K, canonical=True)
+        return cnt.sum(), hi.min()
+
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 4, chunk, dtype=np.uint8))
+    valid = jnp.ones(chunk, dtype=bool)
+
+    out = step(codes, valid, jnp.int32(0))  # compile + warm up
+    _ = int(out[0])
+
+    n_windows = chunk - K + 1
+    t0 = time.perf_counter()
+    outs = [step(codes, valid, jnp.int32(100 + i)) for i in range(iters)]
+    total = sum(int(o[0]) for o in outs)  # forces every execution
+    dt = time.perf_counter() - t0
+    assert total == n_windows * iters
+    return n_windows * iters / dt
+
+
+def bench_walk(n_targets: int = 400):
+    import os
+
+    from km_tpu.io.fasta import read_target
+    from km_tpu.models.batch import run_catalog
+    from km_tpu.models.sequence import TargetSeq
+    from km_tpu.models.table import CountTable
+    from km_tpu.ops.device_table import DeviceCountTable
+
+    cat = "/root/reference/data/catalog/GRCh38"
+    host = CountTable.from_jf("/root/reference/data/jf/03H116_ITD.jf")
+    table = DeviceCountTable.from_host(host)
+
+    base = []
+    for fn in sorted(os.listdir(cat)):
+        seqs, _ = read_target(os.path.join(cat, fn))
+        base.append(("".join(seqs), os.path.splitext(fn)[0]))
+    targets = []
+    i = 0
+    while len(targets) < n_targets:
+        seq, name = base[i % len(base)]
+        targets.append(TargetSeq(seq, f"{name}_{i}", host.k))
+        i += 1
+
+    t0 = time.perf_counter()
+    rows = run_catalog(targets, table)
+    dt = time.perf_counter() - t0
+    assert len(rows) == n_targets
+    return dt
+
+
+def check_golden():
+    import contextlib
+    import io as _io
+    from argparse import Namespace
+    from io import StringIO
+
+    from km_tpu.tools.find_mutation import main_find_mut
+    from km_tpu.tools.find_report import main_find_report
+
+    target = "/root/reference/data/catalog/GRCh38/NPM1_4ins_exons_10-11utr.fa"
+    args = Namespace(count=5, graphical=False,
+                     jellyfish_fn="/root/reference/data/jf/02H025_NPM1.jf",
+                     ratio=0.05, steps=500, branchs=10, nodes=10000,
+                     target_fn=[target], verbose=False, debug=False)
+    out = _io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main_find_mut(args, None)
+    fm = out.getvalue()
+    rargs = Namespace(target=target, infile=StringIO(fm), info="vs_ref",
+                      min_cov=1, exclu="", format=None)
+    out = _io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main_find_report(rargs, None)
+    rep = out.getvalue().split("\n")[2].split("\t")
+    return (rep[3] == "ITD" and rep[5] == "4 | 1" and rep[8] == "0.484"
+            and rep[9] == "2428")
+
+
+def main():
+    kmers_per_sec = bench_counting()
+    try:
+        walk_seconds = bench_walk()
+    except Exception as e:  # never lose the headline metric
+        walk_seconds = None
+        print(f"walk bench failed: {e}", file=sys.stderr)
+    try:
+        golden_ok = check_golden()
+    except Exception as e:
+        golden_ok = False
+        print(f"golden check failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "kmers_counted_per_sec_per_chip",
+        "value": round(kmers_per_sec, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(kmers_per_sec / JELLYFISH_BASELINE_KMERS_PER_SEC,
+                             3),
+        "extra": {
+            "catalog_walk_400_targets_s": (round(walk_seconds, 3)
+                                           if walk_seconds else None),
+            "golden_npm1_report_ok": golden_ok,
+            "baseline_assumption": "jellyfish ~20e6 kmers/s/host",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

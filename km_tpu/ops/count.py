@@ -130,14 +130,73 @@ def canonical_device(hi, lo, rc_hi, rc_lo):
     return jnp.where(take_rc, rc_hi, hi), jnp.where(take_rc, rc_lo, lo)
 
 
-def count_chunk_device(codes, valid, k: int, canonical: bool = True):
-    """Jittable: fixed-size code chunk -> sorted unique (hi, lo) keys with
-    counts; invalid windows collapse onto a trailing sentinel run with
-    weight 0. Returns (hi, lo, counts) of length n_windows."""
+SENTINEL32 = 0xFFFFFFFF
+
+
+def runs_from_sorted(shi, slo):
+    """Sorted key pairs -> (run_keys_hi, run_keys_lo, run_lengths), runs
+    compacted to the front in key order, zero-length padding behind.
+
+    Scatter-free: run starts are found by comparison, compacted with a
+    second (1-key, int32) sort, and lengths are differences of adjacent
+    start positions. ~2x faster on TPU than segment_sum/segment_max,
+    whose scatters serialize.
+    """
     import jax
     jnp = _jnp()
 
-    codes = codes.astype(jnp.uint32)
+    n = shi.shape[0]
+    new_run = jnp.concatenate([
+        jnp.ones(1, dtype=bool),
+        (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
+    ])
+    idx = jnp.where(new_run, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    starts = jax.lax.sort(idx)  # run starts ascending, then n-pads
+    nxt = jnp.concatenate([starts[1:], jnp.full((1,), n, jnp.int32)])
+    pos = jnp.minimum(starts, n - 1)
+    lengths = jnp.where(starts < n, nxt - starts, 0)
+    return shi[pos], slo[pos], lengths
+
+
+def sum_runs_device(rhi, rlo, rcnt):
+    """Unsorted (key, count) records -> unique keys with summed counts,
+    compacted to the front in key order (zero-count padding behind).
+
+    Scatter-free segmented sum: sort by key, locate run starts, compact
+    them with a 1-key sort, and difference the count prefix-sum at run
+    boundaries. Used to merge counting runs after the all_to_all
+    exchange (km_tpu.parallel)."""
+    import jax
+    jnp = _jnp()
+
+    shi, slo, scnt = jax.lax.sort((rhi, rlo, rcnt), num_keys=2)
+    n = shi.shape[0]
+    new_run = jnp.concatenate([
+        jnp.ones(1, dtype=bool),
+        (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
+    ])
+    idx = jnp.where(new_run, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    starts = jax.lax.sort(idx)
+    nxt = jnp.concatenate([starts[1:], jnp.full((1,), n, jnp.int32)])
+    csum = jnp.cumsum(scnt)
+    end_pos = jnp.minimum(nxt, n) - 1
+    head = jnp.where(starts > 0, csum[jnp.maximum(starts - 1, 0)], 0)
+    totals = jnp.where(starts < n, csum[jnp.maximum(end_pos, 0)] - head, 0)
+    pos = jnp.minimum(starts, n - 1)
+    return shi[pos], slo[pos], totals
+
+
+def count_chunk_device(codes, valid, k: int, canonical: bool = True):
+    """Jittable: fixed-size uint8 code chunk -> unique (hi, lo) keys with
+    counts, compacted to the front in key order (zero-count padding
+    behind). Invalid windows collapse onto a sentinel key whose run must
+    be dropped by callers (count>0 AND key != SENTINEL32 pair)."""
+    import jax
+    jnp = _jnp()
+
+    # NB: route the cast through int32 — the direct u8->u32 convert hits a
+    # pathologically slow path on TPU (measured ~1000x slower)
+    codes = codes.astype(jnp.int32).astype(jnp.uint32)
     valid_i = valid.astype(jnp.int32)
     n = codes.shape[0] - k + 1
 
@@ -150,21 +209,15 @@ def count_chunk_device(codes, valid, k: int, canonical: bool = True):
     cnt = jnp.cumsum(valid_i)
     wv = (cnt[k - 1 :] - jnp.concatenate([jnp.zeros(1, jnp.int32), cnt[: n - 1]])) == k
 
-    sentinel = jnp.uint32(0xFFFFFFFF)
+    sentinel = jnp.uint32(SENTINEL32)
     hi = jnp.where(wv, hi, sentinel)
     lo = jnp.where(wv, lo, sentinel)
-    weight = wv.astype(jnp.int32)
 
-    shi, slo, sw = jax.lax.sort((hi, lo, weight), num_keys=2)
-    new_run = jnp.concatenate([
-        jnp.ones(1, dtype=bool),
-        (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
-    ])
-    run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
-    counts = jax.ops.segment_sum(sw, run_id, num_segments=n)
-    run_keys_hi = jax.ops.segment_max(shi, run_id, num_segments=n)
-    run_keys_lo = jax.ops.segment_max(slo, run_id, num_segments=n)
-    return run_keys_hi, run_keys_lo, counts
+    shi, slo = jax.lax.sort((hi, lo), num_keys=2)
+    rhi, rlo, lengths = runs_from_sorted(shi, slo)
+    # kill the sentinel run (invalid windows)
+    is_sent = (rhi == sentinel) & (rlo == sentinel)
+    return rhi, rlo, jnp.where(is_sent, 0, lengths)
 
 
 def count_batches_device(batches, k: int, canonical: bool = True,

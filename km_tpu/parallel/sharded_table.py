@@ -194,16 +194,10 @@ def build_count_exchange(mesh: Mesh, axis: str, chunk: int, k: int,
         rlo = jax.lax.all_to_all(blo, axis, 0, 0).reshape(-1)
         rcnt = jax.lax.all_to_all(bcnt, axis, 0, 0).reshape(-1)
 
-        # local merge: sort received runs, sum duplicates
-        shi, slo, scnt = jax.lax.sort((rhi, rlo, rcnt), num_keys=2)
-        m = shi.shape[0]
-        new_run = jnp.concatenate([
-            jnp.ones(1, dtype=bool),
-            (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1])])
-        run_id = jnp.cumsum(new_run.astype(jnp.int32)) - 1
-        merged_cnt = jax.ops.segment_sum(scnt, run_id, num_segments=m)
-        merged_hi = jax.ops.segment_max(shi, run_id, num_segments=m)
-        merged_lo = jax.ops.segment_max(slo, run_id, num_segments=m)
+        # local merge: scatter-free segmented sum of received runs
+        from ..ops.count import sum_runs_device
+
+        merged_hi, merged_lo, merged_cnt = sum_runs_device(rhi, rlo, rcnt)
         return (merged_hi[None], merged_lo[None], merged_cnt[None],
                 dropped[None])
 
