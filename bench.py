@@ -17,6 +17,10 @@ import time
 
 import numpy as np
 
+from km_tpu.utils.jaxcache import enable as _enable_jax_cache
+
+_enable_jax_cache()
+
 JELLYFISH_BASELINE_KMERS_PER_SEC = 20e6
 K = 31
 
@@ -55,19 +59,13 @@ def bench_counting(iters: int = 16, chunk: int = 1 << 22):
     return n_windows * iters / dt
 
 
-def bench_walk(n_targets: int = 400):
+def _make_catalog_targets(n_targets, k):
     import os
 
     from km_tpu.io.fasta import read_target
-    from km_tpu.models.batch import run_catalog
     from km_tpu.models.sequence import TargetSeq
-    from km_tpu.models.table import CountTable
-    from km_tpu.ops.device_table import DeviceCountTable
 
     cat = "/root/reference/data/catalog/GRCh38"
-    host = CountTable.from_jf("/root/reference/data/jf/03H116_ITD.jf")
-    table = DeviceCountTable.from_host(host)
-
     base = []
     for fn in sorted(os.listdir(cat)):
         seqs, _ = read_target(os.path.join(cat, fn))
@@ -76,11 +74,44 @@ def bench_walk(n_targets: int = 400):
     i = 0
     while len(targets) < n_targets:
         seq, name = base[i % len(base)]
-        targets.append(TargetSeq(seq, f"{name}_{i}", host.k))
+        targets.append(TargetSeq(seq, f"{name}_{i}", k))
         i += 1
+    return targets
 
+
+def bench_walk(n_targets: int = 400):
+    """400-target batched catalog analysis (host table: robust, no XLA
+    compiles; the reference takes seconds *per target*)."""
+    from km_tpu.models.batch import run_catalog
+    from km_tpu.models.table import CountTable
+
+    host = CountTable.from_jf("/root/reference/data/jf/03H116_ITD.jf")
+    targets = _make_catalog_targets(n_targets, host.k)
     t0 = time.perf_counter()
-    rows = run_catalog(targets, table)
+    rows = run_catalog(targets, host, walk="host")
+    dt = time.perf_counter() - t0
+    assert len(rows) == n_targets
+    return dt
+
+
+def bench_walk_device(n_targets: int = 400):
+    """Single-dispatch device walk, warm (second run) timing. The walk
+    kernel takes minutes to compile on a tunneled backend and the
+    persistent cache does not load there, so this is opt-in
+    (KM_BENCH_DEVICE_WALK=1)."""
+    import os
+
+    from km_tpu.models.batch import run_catalog
+    from km_tpu.models.table import CountTable
+    from km_tpu.ops.device_table import DeviceCountTable
+
+    host = CountTable.from_jf("/root/reference/data/jf/03H116_ITD.jf")
+    dev = DeviceCountTable.from_host(host)
+    targets = _make_catalog_targets(n_targets, host.k)
+    run_catalog(targets, dev, walk="device")  # compile + warm
+    targets2 = _make_catalog_targets(n_targets, host.k)
+    t0 = time.perf_counter()
+    rows = run_catalog(targets2, dev, walk="device")
     dt = time.perf_counter() - t0
     assert len(rows) == n_targets
     return dt
@@ -115,12 +146,20 @@ def check_golden():
 
 
 def main():
+    import os
+
     kmers_per_sec = bench_counting()
     try:
         walk_seconds = bench_walk()
     except Exception as e:  # never lose the headline metric
         walk_seconds = None
         print(f"walk bench failed: {e}", file=sys.stderr)
+    device_walk_seconds = None
+    if os.environ.get("KM_BENCH_DEVICE_WALK"):
+        try:
+            device_walk_seconds = bench_walk_device()
+        except Exception as e:
+            print(f"device walk bench failed: {e}", file=sys.stderr)
     try:
         golden_ok = check_golden()
     except Exception as e:
@@ -136,6 +175,9 @@ def main():
         "extra": {
             "catalog_walk_400_targets_s": (round(walk_seconds, 3)
                                            if walk_seconds else None),
+            "catalog_walk_400_device_warm_s": (
+                round(device_walk_seconds, 3)
+                if device_walk_seconds else None),
             "golden_npm1_report_ok": golden_ok,
             "baseline_assumption": "jellyfish ~20e6 kmers/s/host",
         },

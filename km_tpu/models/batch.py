@@ -151,13 +151,31 @@ class PrecomputedWalker:
 
 
 def run_catalog(targets: list[TargetSeq], table, ratio=0.05, count=5,
-                max_stack=500, max_break=10, max_node=10000):
+                max_stack=500, max_break=10, max_node=10000,
+                walk: str = "auto"):
     """Full batched pipeline: frontier walk, then per-target graph /
     quantification / classification. Returns one sorted row list per
-    target."""
-    node_datas = batch_discover(targets, table, ratio=ratio, count=count,
-                                max_stack=max_stack, max_break=max_break,
-                                max_node=max_node)
+    target.
+
+    walk: 'host' = host-orchestrated rounds (one device dispatch per
+    round), 'device' = single-dispatch while_loop walk
+    (ops.batch_walk), 'auto' = device when the table lives on device.
+    """
+    if walk == "auto":
+        walk = "device" if isinstance(table, DeviceCountTable) else "host"
+    if walk == "device":
+        from ..ops.batch_walk import device_discover
+
+        dev = (table if isinstance(table, DeviceCountTable)
+               else DeviceCountTable.from_host(table))
+        node_datas = device_discover(
+            [t.ref_mer for t in targets], dev, ratio=ratio, count=count,
+            max_stack=max_stack, max_break=max_break, max_node=max_node)
+    else:
+        node_datas = batch_discover(targets, table, ratio=ratio,
+                                    count=count, max_stack=max_stack,
+                                    max_break=max_break,
+                                    max_node=max_node)
     all_rows = []
     for target, node_data in zip(targets, node_datas):
         finder = finder_from_nodes(target, table, node_data)

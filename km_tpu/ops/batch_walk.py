@@ -1,0 +1,360 @@
+"""Masked frontier-expansion walk: the whole multi-target graph
+discovery as ONE device program.
+
+km's discovery is a recursive DFS making one Python->C++ query per k-mer
+(reference: km/utils/MutationFinder.py:137-165). The host-orchestrated
+batch walk (km_tpu.models.batch) already batches lookups, but still pays
+one device dispatch per frontier round — hundreds of round trips. Here
+the *entire* walk over hundreds of targets runs inside a single jitted
+``lax.while_loop``.
+
+Performance-critical design point: walklets are *slot-stable*. The
+common event — a walklet extending through its single unknown child —
+is a full-matrix elementwise write (one-hot depth mask), never a row
+gather/scatter. The rare events go through small fixed side buffers:
+
+- branching: the parent takes its first unknown child in place; the
+  other unknown children copy the parent's stack through a
+  ``copy_cap``-row buffer into dead slots;
+- commits (a child hits the member set or the walklet's own stack):
+  the stack row is gathered into a ``commit_cap``-row buffer and
+  appended to a persistent log with one contiguous
+  dynamic_update_slice;
+- freed slots are re-seeded from the target k-mer list.
+
+Naive row-scatter/gather of the whole [walklets, depth] stack matrix
+costs ~80 ms/round on TPU (rows serialize); this formulation is
+elementwise + O(128) rows per round.
+
+All loop bounds are static; buffer overflow sets a flag and the host
+retries with doubled capacities. The member set is static within a
+dispatch, so discovery iterates to a fixpoint across dispatches (2
+typically). The committed fixpoint matches the sequential engine on all
+bundled fixtures (tests/test_device_walk.py); commit *timing* relative
+to km's DFS ordering is the one documented semantic difference. Walk
+budgets (max_stack depth, max_break branch events per path,
+commit-on-reconnect-or-loop, per-parent child thresholds) are enforced
+identically to the reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .device_table import children_kernel
+
+TGT_SENTINEL = np.int32(0x7FFFFFF)
+
+
+@partial(jax.jit, static_argnames=(
+    "prefix_bits", "rounds", "k", "canonical", "max_stack", "max_break",
+    "member_rounds", "hard_rounds", "copy_cap", "commit_cap", "log_cap",
+    "WC", "S"))
+def walk_kernel(keys_hi, keys_lo, counts, bucket_starts,
+                member_tgt, member_hi, member_lo,
+                seed_tgt, seed_hi, seed_lo, n_seeds,
+                ratio, n_cutoff,
+                *, WC, S, prefix_bits, rounds, k, canonical, max_stack,
+                max_break, member_rounds, hard_rounds, copy_cap,
+                commit_cap, log_cap):
+    """One fixpoint iteration of the device walk. Returns the commit log
+    (log_hi, log_lo, log_tgt, log_depth, log_count), overflow flag, and
+    round count."""
+    M = member_hi.shape[0]
+    lanes = jnp.arange(4, dtype=jnp.int32)
+    rows = jnp.arange(WC, dtype=jnp.int32)
+    cols = jnp.arange(S, dtype=jnp.int32)
+
+    def member_lookup(tgt, chi, clo):
+        """Binary search of (tgt, hi, lo) in the sorted member arrays."""
+        low = (chi & jnp.uint32(0)).astype(jnp.int32)
+        high = low + jnp.int32(M)
+
+        def body(_, lh):
+            lo_, hi_ = lh
+            mid = (lo_ + hi_) >> 1
+            pos = jnp.minimum(mid, M - 1)
+            mt, mh, ml = member_tgt[pos], member_hi[pos], member_lo[pos]
+            less = (mt < tgt) | ((mt == tgt) & (
+                (mh < chi) | ((mh == chi) & (ml < clo))))
+            return (jnp.where(less, mid + 1, lo_),
+                    jnp.where(less, hi_, mid))
+
+        low, _ = jax.lax.fori_loop(0, member_rounds, body, (low, high))
+        pos = jnp.minimum(low, M - 1)
+        return ((member_tgt[pos] == tgt) & (member_hi[pos] == chi)
+                & (member_lo[pos] == clo))
+
+    def round_body(state):
+        (stack_hi, stack_lo, w_tgt, w_breaks, w_depth, w_alive, cursor,
+         log_hi, log_lo, log_tgt, log_depth, log_count, overflow,
+         rnd) = state
+
+        # --- tips and children ---
+        tip_pos = jnp.maximum(w_depth - 1, 0)
+        tips_hi = jnp.take_along_axis(stack_hi, tip_pos[:, None],
+                                      axis=1)[:, 0]
+        tips_lo = jnp.take_along_axis(stack_lo, tip_pos[:, None],
+                                      axis=1)[:, 0]
+        chi, clo, _cnt, kid_mask = children_kernel(
+            keys_hi, keys_lo, counts, bucket_starts, tips_hi, tips_lo,
+            ratio, n_cutoff, prefix_bits=prefix_bits, rounds=rounds,
+            k=k, canonical=canonical, forward=True)
+        kid_mask = kid_mask & w_alive[:, None]
+
+        nkids = kid_mask.sum(axis=1)
+        branches = nkids > 1
+        b2 = w_breaks + branches.astype(jnp.int32)
+        die_branch = branches & (b2 > max_break)
+        act = w_alive & ~die_branch
+
+        # --- membership tests ---
+        known_member = member_lookup(w_tgt[:, None], chi, clo) & kid_mask
+        depth_mask = (cols[None, None, :] < w_depth[:, None, None])
+        in_stack = (((stack_hi[:, None, :] == chi[:, :, None])
+                     & (stack_lo[:, None, :] == clo[:, :, None])
+                     & depth_mask).any(axis=2)) & kid_mask
+        known = known_member | in_stack
+
+        # --- commits: gather committing rows into the small buffer,
+        # append to the log with one contiguous write ---
+        committing = act & known.any(axis=1) & (w_depth >= 2)
+        n_commit = committing.sum()
+        crank = jnp.cumsum(committing.astype(jnp.int32)) - 1
+        # walklet index per buffer slot (scatter of WC scalars)
+        src = jnp.zeros(commit_cap + 1, jnp.int32).at[
+            jnp.where(committing, jnp.minimum(crank, commit_cap), commit_cap)
+        ].set(rows)[:commit_cap]
+        buf_hi = stack_hi[src]
+        buf_lo = stack_lo[src]
+        buf_valid = jnp.arange(commit_cap) < n_commit
+        buf_tgt = jnp.where(buf_valid, w_tgt[src], TGT_SENTINEL)
+        buf_depth = jnp.where(buf_valid, w_depth[src], 0)
+        off = jnp.minimum(log_count, log_cap - commit_cap)
+        log_hi = jax.lax.dynamic_update_slice(log_hi, buf_hi,
+                                              (off, jnp.int32(0)))
+        log_lo = jax.lax.dynamic_update_slice(log_lo, buf_lo,
+                                              (off, jnp.int32(0)))
+        log_tgt = jax.lax.dynamic_update_slice(log_tgt, buf_tgt, (off,))
+        log_depth = jax.lax.dynamic_update_slice(log_depth, buf_depth,
+                                                 (off,))
+        overflow = overflow | (n_commit > commit_cap) \
+            | (log_count + commit_cap > log_cap)
+        log_count = log_count + jnp.minimum(n_commit, commit_cap)
+
+        # --- in-place extension through the first unknown child ---
+        unknown = (act[:, None] & kid_mask & ~known
+                   & (w_depth[:, None] + 1 <= max_stack))
+        n_unknown = unknown.sum(axis=1)
+        first_lane = jnp.argmax(unknown, axis=1)
+        ext = n_unknown >= 1
+        ext_hi = jnp.take_along_axis(chi, first_lane[:, None], 1)[:, 0]
+        ext_lo = jnp.take_along_axis(clo, first_lane[:, None], 1)[:, 0]
+        at_new = (cols[None, :] == w_depth[:, None]) & ext[:, None]
+        stack_hi = jnp.where(at_new, ext_hi[:, None], stack_hi)
+        stack_lo = jnp.where(at_new, ext_lo[:, None], stack_lo)
+        w_depth = jnp.where(ext, w_depth + 1, w_depth)
+        w_breaks = jnp.where(ext, b2, w_breaks)
+        alive2 = ext  # walklets without an extension die this round
+
+        # --- extra unknown children copy the parent into dead slots ---
+        extra = unknown & (lanes[None, :] != first_lane[:, None])
+        extra_flat = extra.reshape(-1)
+        n_extra = extra_flat.sum()
+        erank = jnp.cumsum(extra_flat.astype(jnp.int32)) - 1
+        flat_ix = jnp.arange(WC * 4, dtype=jnp.int32)
+        cp_src = jnp.zeros(copy_cap + 1, jnp.int32).at[
+            jnp.where(extra_flat, jnp.minimum(erank, copy_cap), copy_cap)
+        ].set(flat_ix // 4)[:copy_cap]
+        cp_child_hi = jnp.zeros(copy_cap + 1, jnp.uint32).at[
+            jnp.where(extra_flat, jnp.minimum(erank, copy_cap), copy_cap)
+        ].set(chi.reshape(-1))[:copy_cap]
+        cp_child_lo = jnp.zeros(copy_cap + 1, jnp.uint32).at[
+            jnp.where(extra_flat, jnp.minimum(erank, copy_cap), copy_cap)
+        ].set(clo.reshape(-1))[:copy_cap]
+        overflow = overflow | (n_extra > copy_cap)
+
+        dead = ~alive2
+        drank = jnp.where(dead, jnp.cumsum(dead.astype(jnp.int32)) - 1, -1)
+        n_dead = dead.sum()
+        # destination slot per copy buffer entry
+        cp_dst = jnp.full(copy_cap + 1, WC, jnp.int32).at[
+            jnp.where(dead & (drank < copy_cap), drank, copy_cap)
+        ].set(rows)[:copy_cap]
+        cp_valid = jnp.arange(copy_cap) < jnp.minimum(n_extra, n_dead)
+        # build copied rows: parent stack + child at parent depth
+        cp_rows_hi = stack_hi[cp_src]  # parent already extended in place;
+        cp_rows_lo = stack_lo[cp_src]  # overwrite its new cell with ours
+        cp_depth = w_depth[cp_src]  # parent depth after +1 == our depth
+        cp_at = (cols[None, :] == (cp_depth - 1)[:, None])
+        cp_rows_hi = jnp.where(cp_at, cp_child_hi[:, None], cp_rows_hi)
+        cp_rows_lo = jnp.where(cp_at, cp_child_lo[:, None], cp_rows_lo)
+        dst = jnp.where(cp_valid, cp_dst, WC)
+        stack_hi = stack_hi.at[dst].set(cp_rows_hi, mode="drop")
+        stack_lo = stack_lo.at[dst].set(cp_rows_lo, mode="drop")
+        w_tgt = w_tgt.at[dst].set(w_tgt[cp_src], mode="drop")
+        w_breaks = w_breaks.at[dst].set(w_breaks[cp_src], mode="drop")
+        w_depth = w_depth.at[dst].set(cp_depth, mode="drop")
+        alive2 = alive2.at[dst].set(True, mode="drop")
+        overflow = overflow | (n_extra > n_dead)  # pool exhausted
+
+        # --- refill remaining dead slots with fresh seeds ---
+        n_copied = jnp.minimum(n_extra, n_dead)
+        seed_ix = cursor + (drank - n_copied)
+        is_seed = dead & (drank >= n_copied) & (seed_ix < n_seeds) \
+            & (seed_ix >= 0)
+        seed_pos = jnp.clip(seed_ix, 0, seed_hi.shape[0] - 1)
+        w_tgt = jnp.where(is_seed, seed_tgt[seed_pos], w_tgt)
+        w_breaks = jnp.where(is_seed, 0, w_breaks)
+        w_depth = jnp.where(is_seed, 1, w_depth)
+        first_col = (cols[None, :] == 0) & is_seed[:, None]
+        stack_hi = jnp.where(first_col, seed_hi[seed_pos][:, None],
+                             stack_hi)
+        stack_lo = jnp.where(first_col, seed_lo[seed_pos][:, None],
+                             stack_lo)
+        alive2 = alive2 | is_seed
+        cursor = cursor + is_seed.sum()
+
+        return (stack_hi, stack_lo, w_tgt, w_breaks, w_depth, alive2,
+                cursor, log_hi, log_lo, log_tgt, log_depth, log_count,
+                overflow, rnd + 1)
+
+    def cond(state):
+        alive = state[5]
+        cursor = state[6]
+        overflow = state[12]
+        rnd = state[13]
+        return ((alive.any() | (cursor < n_seeds))
+                & (rnd < hard_rounds) & ~overflow)
+
+    state = (
+        jnp.zeros((WC, S), jnp.uint32), jnp.zeros((WC, S), jnp.uint32),
+        jnp.zeros(WC, jnp.int32), jnp.zeros(WC, jnp.int32),
+        jnp.ones(WC, jnp.int32), jnp.zeros(WC, bool), jnp.int32(0),
+        jnp.zeros((log_cap, S), jnp.uint32),
+        jnp.zeros((log_cap, S), jnp.uint32),
+        jnp.full(log_cap, TGT_SENTINEL, jnp.int32),
+        jnp.zeros(log_cap, jnp.int32), jnp.int32(0), jnp.bool_(False),
+        jnp.int32(0))
+    state = jax.lax.while_loop(cond, round_body, state)
+    (_, _, _, _, _, _, _, log_hi, log_lo, log_tgt, log_depth, log_count,
+     overflow, rnd) = state
+    return log_hi, log_lo, log_tgt, log_depth, log_count, overflow, rnd
+
+
+def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
+                    count=5, max_stack=500, max_break=10, max_node=10000,
+                    walklet_cap=2048, copy_cap=128, commit_cap=128,
+                    log_cap=4096):
+    """Fixpoint driver for the device walk.
+
+    targets_mers: per-target ordered unique packed ref k-mers (uint64).
+    Returns per-target ordered {kmer: count} (ref k-mers first, then
+    commits in log order), like the host walkers.
+    """
+    from .device_table import split_keys
+    from ..models.walk import NodeBudgetExceeded
+
+    seed_tgt = np.concatenate([
+        np.full(len(m), t, np.int32) for t, m in enumerate(targets_mers)])
+    seed_keys = np.concatenate(targets_mers).astype(np.uint64)
+    shi, slo = split_keys(seed_keys)
+    n_seeds = len(seed_keys)
+
+    node_sets = [set(int(x) for x in m) for m in targets_mers]
+    node_order = [[int(x) for x in m] for m in targets_mers]
+
+    S = max(8, max_stack)
+    WC = walklet_cap
+    # constant loop/search bounds: the while_loop exits via its dynamic
+    # condition, and extra binary-search rounds converge harmlessly —
+    # keeping these static args constant lets every catalog size share
+    # one compiled program
+    hard_rounds = 1 << 22
+    member_rounds = 27
+
+    # seed arrays padded to a power of two (compile-cache reuse)
+    NS = max(1 << 14, 1 << (n_seeds - 1).bit_length())
+    sp = NS - n_seeds
+    s_tgt = np.concatenate([seed_tgt, np.zeros(sp, np.int32)])
+    s_hi = np.concatenate([shi, np.zeros(sp, np.uint32)])
+    s_lo = np.concatenate([slo, np.zeros(sp, np.uint32)])
+
+    for _iteration in range(64):  # fixpoint iterations (typically 2)
+        m_tgt = np.concatenate([
+            np.full(len(order), t, np.int32)
+            for t, order in enumerate(node_order)])
+        m_keys = np.concatenate([
+            np.fromiter(order, dtype=np.uint64, count=len(order))
+            for order in node_order])
+        sort_ix = np.lexsort((m_keys, m_tgt))
+        m_tgt, m_keys = m_tgt[sort_ix], m_keys[sort_ix]
+        mhi, mlo = split_keys(m_keys)
+        M = max(1 << 14, 1 << (len(m_keys) - 1).bit_length())
+        pad = M - len(m_keys)
+        m_tgt = np.concatenate([m_tgt, np.full(pad, TGT_SENTINEL, np.int32)])
+        mhi = np.concatenate([mhi, np.full(pad, 0xFFFFFFFF, np.uint32)])
+        mlo = np.concatenate([mlo, np.full(pad, 0xFFFFFFFF, np.uint32)])
+
+        while True:
+            out = walk_kernel(
+                table.keys_hi, table.keys_lo, table.counts,
+                table.bucket_starts,
+                jnp.asarray(m_tgt), jnp.asarray(mhi), jnp.asarray(mlo),
+                jnp.asarray(s_tgt), jnp.asarray(s_hi), jnp.asarray(s_lo),
+                jnp.int32(n_seeds), jnp.float32(ratio), jnp.int32(count),
+                WC=WC, S=S,
+                prefix_bits=table.prefix_bits, rounds=table.rounds,
+                k=table.k, canonical=table.canonical, max_stack=max_stack,
+                max_break=max_break, member_rounds=member_rounds,
+                hard_rounds=hard_rounds, copy_cap=copy_cap,
+                commit_cap=commit_cap, log_cap=log_cap)
+            c_hi, c_lo, c_tgt, c_depth, c_count, overflow, rnd = \
+                [np.asarray(x) for x in out]
+            if not overflow:
+                break
+            WC *= 2
+            copy_cap *= 2
+            commit_cap *= 2
+            log_cap *= 2
+
+        # apply commits in log order
+        changed = False
+        for i in range(int(c_count)):
+            t = int(c_tgt[i])
+            if t == TGT_SENTINEL:
+                continue
+            d = int(c_depth[i])
+            keys = ((c_hi[i, :d].astype(np.uint64) << np.uint64(32))
+                    | c_lo[i, :d].astype(np.uint64))
+            ns, order = node_sets[t], node_order[t]
+            for key in keys:
+                key = int(key)
+                if key not in ns:
+                    ns.add(key)
+                    order.append(key)
+                    changed = True
+            if len(order) > max_node:
+                raise NodeBudgetExceeded(max_node)
+        if not changed:
+            break
+
+    # count resolution: one batched query across every target
+    all_keys = np.concatenate([
+        np.array(order, dtype=np.uint64) for order in node_order]) \
+        if node_order else np.empty(0, np.uint64)
+    all_counts = table.query_packed(all_keys) if len(all_keys) else all_keys
+    results = []
+    off = 0
+    for order in node_order:
+        n = len(order)
+        counts = all_counts[off:off + n]
+        results.append({int(k_): int(c_)
+                        for k_, c_ in zip(order, counts)})
+        off += n
+    return results

@@ -120,17 +120,32 @@ class DeviceCountTable:
         self.n = len(keys)
         self.prefix_bits = prefix_bits
 
-        hi, lo = split_keys(keys)
+        # pad to a power of two (min 4096) with sentinel keys so tables of
+        # similar size share compiled programs. Sentinel keys live in the
+        # top prefix bucket, unreachable by real k<=31 queries, so the
+        # search-round count stays driven by real buckets.
+        cap = max(4096, 1 << max(int(np.ceil(np.log2(max(self.n, 2)))), 1))
+        pad = cap - self.n
+        keys_p = np.concatenate([keys, np.full(pad, ~np.uint64(0))])
+        counts_p = np.concatenate(
+            [counts.astype(np.int64), np.zeros(pad, np.int64)])
+
+        hi, lo = split_keys(keys_p)
         self.keys_hi = jnp.asarray(hi)
         self.keys_lo = jnp.asarray(lo)
-        self.counts = jnp.asarray(counts.astype(np.int32))
+        self.counts = jnp.asarray(counts_p.astype(np.int32))
 
         shift = np.uint64(64 - prefix_bits)
-        prefixes = (keys >> shift).astype(np.int64)
+        prefixes = (keys_p >> shift).astype(np.int64)
         starts = np.searchsorted(prefixes, np.arange((1 << prefix_bits) + 1))
         self.bucket_starts = jnp.asarray(starts.astype(np.int32))
-        max_bucket = int((starts[1:] - starts[:-1]).max()) if self.n else 1
-        self.rounds = max(1, int(np.ceil(np.log2(max(max_bucket, 2)))) + 1)
+        real = (keys >> shift).astype(np.int64)
+        real_starts = np.searchsorted(real, np.arange((1 << prefix_bits) + 1))
+        max_bucket = int((real_starts[1:] - real_starts[:-1]).max()) \
+            if self.n else 1
+        # floor of 16 rounds: stabilizes the static round count across
+        # small/medium tables so compilations are shared
+        self.rounds = max(16, int(np.ceil(np.log2(max(max_bucket, 2)))) + 1)
 
     @classmethod
     def from_host(cls, table, **kw) -> "DeviceCountTable":
@@ -149,11 +164,19 @@ class DeviceCountTable:
                              rounds=self.rounds)
 
     def query_packed(self, keys: np.ndarray) -> np.ndarray:
-        """Host-convenience: uint64 queries -> int64 counts (numpy)."""
+        """Host-convenience: uint64 queries -> int64 counts (numpy).
+        Pads to a power of two so compilations are shared across sizes."""
         keys = np.asarray(keys, dtype=np.uint64)
-        hi, lo = split_keys(keys.reshape(-1))
+        flat = keys.reshape(-1)
+        n = len(flat)
+        if n == 0:
+            return np.zeros(keys.shape, dtype=np.int64)
+        padded = max(64, 1 << (n - 1).bit_length())
+        buf = np.zeros(padded, dtype=np.uint64)
+        buf[:n] = flat
+        hi, lo = split_keys(buf)
         out = self.lookup(jnp.asarray(hi), jnp.asarray(lo))
-        return np.asarray(out).astype(np.int64).reshape(keys.shape)
+        return np.asarray(out)[:n].astype(np.int64).reshape(keys.shape)
 
     def children(self, qhi, qlo, ratio: float, n_cutoff: int,
                  forward: bool = True):
