@@ -25,7 +25,7 @@ JELLYFISH_BASELINE_KMERS_PER_SEC = 20e6
 K = 31
 
 
-def bench_counting(iters: int = 16, chunk: int = 1 << 22):
+def bench_counting(iters: int = 16, chunk: int = 1 << 24):
     """Sustained device counting throughput.
 
     Every iteration processes *distinct* data (salted on device) and all

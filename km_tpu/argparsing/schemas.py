@@ -51,6 +51,11 @@ def add_find_mutation_args(parser):
         "-vv", "--debug", action="store_true",
         help="Get much more information.")
     parser.add_argument(
+        "--profile", nargs="?", const="/tmp/km_tpu_trace", default=None,
+        metavar="DIR",
+        help="Write a jax.profiler device trace to DIR (and log per-phase "
+             "timings; combine with -v).")
+    parser.add_argument(
         "target_fn", nargs="*",
         help="Filename of the target sequence file or directory.")
     parser.add_argument(

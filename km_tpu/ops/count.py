@@ -134,13 +134,15 @@ SENTINEL32 = 0xFFFFFFFF
 
 
 def runs_from_sorted(shi, slo):
-    """Sorted key pairs -> (run_keys_hi, run_keys_lo, run_lengths), runs
-    compacted to the front in key order, zero-length padding behind.
+    """Sorted key pairs -> (shi, slo, run_lengths) with each run's length
+    stored *in place* at its start position (zeros elsewhere).
 
-    Scatter-free: run starts are found by comparison, compacted with a
-    second (1-key, int32) sort, and lengths are differences of adjacent
-    start positions. ~2x faster on TPU than segment_sum/segment_max,
-    whose scatters serialize.
+    Fully scan-based — no second sort, no scatter, no gather: the next
+    run start after every position is a reverse cummin over start
+    indices, and a run's length is the difference. Consumers filter on
+    ``length > 0`` (they already must, for the padding), so compaction
+    is unnecessary and its former cost (an extra int32 sort plus random
+    gathers, ~40% of the counting kernel) is saved.
     """
     import jax
     jnp = _jnp()
@@ -151,21 +153,23 @@ def runs_from_sorted(shi, slo):
         (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
     ])
     idx = jnp.where(new_run, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
-    starts = jax.lax.sort(idx)  # run starts ascending, then n-pads
-    nxt = jnp.concatenate([starts[1:], jnp.full((1,), n, jnp.int32)])
-    pos = jnp.minimum(starts, n - 1)
-    lengths = jnp.where(starts < n, nxt - starts, 0)
-    return shi[pos], slo[pos], lengths
+    # next start strictly after i = suffix-min of idx shifted left by one
+    nxt = jax.lax.cummin(
+        jnp.concatenate([idx[1:], jnp.full((1,), n, jnp.int32)]),
+        reverse=True)
+    lengths = jnp.where(new_run, nxt - jnp.arange(n, dtype=jnp.int32), 0)
+    return shi, slo, lengths
 
 
 def sum_runs_device(rhi, rlo, rcnt):
-    """Unsorted (key, count) records -> unique keys with summed counts,
-    compacted to the front in key order (zero-count padding behind).
+    """Unsorted (key, count) records -> sorted keys with each unique
+    key's summed count stored in place at its run start (zeros
+    elsewhere; consumers filter on ``count > 0``).
 
-    Scatter-free segmented sum: sort by key, locate run starts, compact
-    them with a 1-key sort, and difference the count prefix-sum at run
-    boundaries. Used to merge counting runs after the all_to_all
-    exchange (km_tpu.parallel)."""
+    Scatter/gather-free segmented sum: sort by key, then a reverse
+    *segmented* inclusive scan (associative_scan over (sum, boundary)
+    pairs) leaves every run's total at its first element. Used to merge
+    counting runs after the all_to_all exchange (km_tpu.parallel)."""
     import jax
     jnp = _jnp()
 
@@ -175,47 +179,75 @@ def sum_runs_device(rhi, rlo, rcnt):
         jnp.ones(1, dtype=bool),
         (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
     ])
-    idx = jnp.where(new_run, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
-    starts = jax.lax.sort(idx)
-    nxt = jnp.concatenate([starts[1:], jnp.full((1,), n, jnp.int32)])
-    csum = jnp.cumsum(scnt)
-    end_pos = jnp.minimum(nxt, n) - 1
-    head = jnp.where(starts > 0, csum[jnp.maximum(starts - 1, 0)], 0)
-    totals = jnp.where(starts < n, csum[jnp.maximum(end_pos, 0)] - head, 0)
-    pos = jnp.minimum(starts, n - 1)
-    return shi[pos], slo[pos], totals
+    # reverse segmented sum: flag[i] marks "i is the last element of its
+    # run" (i.e. i+1 starts a new run); the scan must not carry past it
+    flag = jnp.concatenate([new_run[1:], jnp.ones(1, dtype=bool)])
+
+    def seg(a, b):
+        # combine right-neighbour partial (a) into left element (b);
+        # reverse=True feeds neighbours right-to-left
+        a_s, a_f = a
+        b_s, b_f = b
+        return jnp.where(b_f, b_s, b_s + a_s), a_f | b_f
+
+    sums, _ = jax.lax.associative_scan(
+        seg, (scnt, flag), reverse=True)
+    totals = jnp.where(new_run, sums, 0)
+    return shi, slo, totals
 
 
-def count_chunk_device(codes, valid, k: int, canonical: bool = True):
-    """Jittable: fixed-size uint8 code chunk -> unique (hi, lo) keys with
-    counts, compacted to the front in key order (zero-count padding
-    behind). Invalid windows collapse onto a sentinel key whose run must
-    be dropped by callers (count>0 AND key != SENTINEL32 pair)."""
+def count_chunk_device(codes, valid, k: int, canonical: bool = True,
+                       use_pallas: bool | None = None):
+    """Jittable: fixed-size uint8 code chunk -> sorted (hi, lo) keys with
+    each unique key's count stored at its run start (zeros elsewhere;
+    callers filter on count > 0). Invalid or off-the-end windows collapse
+    onto a sentinel key whose run is zeroed here.
+
+    The window pack + canonicalize + sentinel stage runs as a fused
+    Pallas kernel (km_tpu.ops.pallas_pack) when the chunk shape allows
+    and a TPU backend is present; the XLA formulation is the fallback
+    (and the spec the kernel is tested against)."""
     import jax
     jnp = _jnp()
 
-    # NB: route the cast through int32 — the direct u8->u32 convert hits a
-    # pathologically slow path on TPU (measured ~1000x slower)
-    codes = codes.astype(jnp.int32).astype(jnp.uint32)
-    valid_i = valid.astype(jnp.int32)
-    n = codes.shape[0] - k + 1
-
-    hi, lo = pack_windows_device(codes, k)
-    if canonical:
-        rc_codes = (jnp.uint32(3) - codes)[::-1]
-        rhi, rlo = pack_windows_device(rc_codes, k)
-        hi, lo = canonical_device(hi, lo, rhi[::-1], rlo[::-1])
-
-    cnt = jnp.cumsum(valid_i)
-    wv = (cnt[k - 1 :] - jnp.concatenate([jnp.zeros(1, jnp.int32), cnt[: n - 1]])) == k
-
     sentinel = jnp.uint32(SENTINEL32)
-    hi = jnp.where(wv, hi, sentinel)
-    lo = jnp.where(wv, lo, sentinel)
+    if use_pallas is None:
+        from . import pallas_pack
+
+        use_pallas = (pallas_pack.supported(codes.shape[0], k)
+                      and jax.default_backend() not in ("cpu",))
+
+    if use_pallas:
+        from . import pallas_pack
+
+        interpret = jax.default_backend() == "cpu"
+        hi, lo = pallas_pack.pack_canonical_windows(
+            codes, valid, k=k, canonical=canonical, interpret=interpret)
+    else:
+        # NB: route the cast through int32 — the direct u8->u32 convert
+        # hits a pathologically slow path on TPU (measured ~1000x slower)
+        codes = codes.astype(jnp.int32).astype(jnp.uint32)
+        valid_i = valid.astype(jnp.int32)
+        n = codes.shape[0] - k + 1
+
+        hi, lo = pack_windows_device(codes, k)
+        if canonical:
+            # reverse-complement via bit manipulation on the packed keys —
+            # no second pack over reversed codes needed
+            from .device_table import revcomp_split
+
+            rhi, rlo = revcomp_split(hi, lo, k)
+            hi, lo = canonical_device(hi, lo, rhi, rlo)
+
+        cnt = jnp.cumsum(valid_i)
+        wv = (cnt[k - 1:] -
+              jnp.concatenate([jnp.zeros(1, jnp.int32), cnt[: n - 1]])) == k
+        hi = jnp.where(wv, hi, sentinel)
+        lo = jnp.where(wv, lo, sentinel)
 
     shi, slo = jax.lax.sort((hi, lo), num_keys=2)
     rhi, rlo, lengths = runs_from_sorted(shi, slo)
-    # kill the sentinel run (invalid windows)
+    # kill the sentinel run (invalid windows / end padding)
     is_sent = (rhi == sentinel) & (rlo == sentinel)
     return rhi, rlo, jnp.where(is_sent, 0, lengths)
 

@@ -137,6 +137,32 @@ class ShardedCountTable:
         out = self.lookup(jnp.asarray(hi), jnp.asarray(lo))
         return np.asarray(out).astype(np.int64).reshape(keys.shape)
 
+    # -- persistence: the "checkpoint" of the expensive counting phase --
+    # (the reference has no analog — its .jf file is produced offline by
+    # Jellyfish; here the sharded table itself is the reloadable artifact
+    # so walks can rerun without recounting, SURVEY.md §5)
+
+    def save(self, path: str) -> None:
+        """Persist the sharded table (gathers shards to host memory)."""
+        hi = np.asarray(self.keys_hi).astype(np.uint64)
+        lo = np.asarray(self.keys_lo).astype(np.uint64)
+        keys = (hi << np.uint64(32)) | lo
+        counts = np.asarray(self.counts)
+        real = counts > 0  # sentinel padding carries count 0
+        np.savez(path, keys=keys[real], counts=counts[real].astype(np.uint32),
+                 k=self.k, canonical=self.canonical)
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh,
+             axis: str = "shard") -> "ShardedCountTable":
+        """Reload a table saved by save() (or by CountTable.save — the
+        on-disk format is shared) onto a mesh."""
+        from ..models.table import CountTable
+
+        host = CountTable.load(path)
+        host.name = path
+        return cls(host, mesh, axis=axis)
+
 
 # ---------------------------------------------------------------------------
 # sharded counting: local count -> all_to_all by owner -> local merge

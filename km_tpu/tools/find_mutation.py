@@ -15,6 +15,7 @@ from ..models.finder import VariantFinder
 from ..models.quant import PathRow
 from ..models.sequence import TargetSeq
 from ..models.table import CountTable
+from ..utils import profiling
 
 
 def load_table(path: str) -> CountTable:
@@ -37,8 +38,10 @@ def main_find_mut(args, argparser):
     for key, value in vars(args).items():
         sys.stdout.write("#" + str(key) + ":" + str(value) + "\n")
 
-    table = load_table(args.jellyfish_fn)
-    table.name = args.jellyfish_fn
+    profiling.reset()
+    with profiling.phase("load_table"):
+        table = load_table(args.jellyfish_fn)
+        table.name = args.jellyfish_fn
 
     seq_files = expand_target_files(args.target_fn)
 
@@ -51,16 +54,20 @@ def main_find_mut(args, argparser):
         # multi-entry targets (exons) concatenate into one sequence
         targets.append(TargetSeq("".join(seqs), ref_name, table.k))
 
-    for target in targets:
-        finder = VariantFinder(
-            target, table, ratio=args.ratio, count=args.count,
-            max_stack=args.steps, max_break=args.branchs,
-            max_node=args.nodes,
-        )
-        finder.find_alt_paths()
-        finder.quantify_paths(args.graphical)
-        finder.quantify_clusters(args.graphical)
-        for row in finder.sorted_rows():
-            sys.stdout.write(str(row) + "\n")
+    with profiling.device_trace(getattr(args, "profile", None)):
+        for target in targets:
+            with profiling.phase("walk"):
+                finder = VariantFinder(
+                    target, table, ratio=args.ratio, count=args.count,
+                    max_stack=args.steps, max_break=args.branchs,
+                    max_node=args.nodes,
+                )
+                finder.find_alt_paths()
+            with profiling.phase("quantify"):
+                finder.quantify_paths(args.graphical)
+                finder.quantify_clusters(args.graphical)
+            for row in finder.sorted_rows():
+                sys.stdout.write(str(row) + "\n")
+    profiling.report()
 
     sys.stdout.write("#Elapsed time:" + str(time.time() - time_start) + "\n")

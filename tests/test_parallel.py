@@ -51,3 +51,26 @@ def test_sharded_count_matches_host():
                            chunk=1 << 15)
     assert (hk == sk).all()
     assert (hc.astype(np.int64) == sc.astype(np.int64)).all()
+
+
+def test_sharded_table_save_load_roundtrip(tmp_path):
+    _require_devices(4)
+    host = CountTable.from_jf(f"{REFDATA}/jf/02H025_NPM1.jf")
+    mesh = make_mesh(4)
+    sharded = ShardedCountTable(host, mesh)
+    path = str(tmp_path / "table.npz")
+    sharded.save(path)
+
+    reloaded = ShardedCountTable.load(path, mesh)
+    assert reloaded.k == host.k and reloaded.canonical == host.canonical
+    rng = np.random.default_rng(5)
+    queries = np.concatenate([
+        host.keys[rng.integers(0, len(host.keys), 64)],
+        rng.integers(0, 1 << 62, 64, dtype=np.uint64),  # mostly misses
+    ])
+    assert (reloaded.query_packed(queries) == host.query_packed(queries)).all()
+
+    # the shared on-disk format also round-trips through CountTable
+    host2 = CountTable.load(path)
+    assert (host2.keys == host.keys).all()
+    assert (host2.counts == host.counts).all()
