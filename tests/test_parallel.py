@@ -74,3 +74,42 @@ def test_sharded_table_save_load_roundtrip(tmp_path):
     host2 = CountTable.load(path)
     assert (host2.keys == host.keys).all()
     assert (host2.counts == host.counts).all()
+
+
+def test_counting_deterministic_under_partitioning():
+    """The race-sensitive piece of the design is accumulation into the
+    sharded table; merging is associative, so results must be identical
+    no matter how reads are partitioned into batches or devices."""
+    _require_devices(8)
+    rng = np.random.default_rng(11)
+    seq = "".join(rng.choice(list("ACGT"), 6000))
+    k = 21
+    codes = encode.seq_to_codes(seq)
+    valid = np.ones(len(codes), bool)
+
+    def as_batches(n_pieces):
+        # split with k-1 overlap so every window survives partitioning
+        cuts = np.linspace(0, len(codes), n_pieces + 1).astype(int)
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            lo = max(0, a - (k - 1)) if a else 0
+            yield codes[lo:b], valid[lo:b]
+
+    # NB: naive re-batching double-counts boundary windows; use one
+    # stream but different device/chunk partitionings instead
+    mesh8 = make_mesh(8)
+    mesh2 = make_mesh(2)
+    k1, c1 = sharded_count([(codes, valid)], mesh8, k, chunk=1 << 10)
+    k2, c2 = sharded_count([(codes, valid)], mesh2, k, chunk=1 << 12)
+    assert (k1 == k2).all() and (c1 == c2).all()
+
+
+def test_distributed_single_host_noop_and_mesh():
+    from km_tpu.parallel import distributed
+
+    distributed.initialize()  # no coordinator configured -> no-op
+    mesh = distributed.global_mesh()
+    assert mesh.shape["shard"] == len(jax.devices())
+    mesh2 = distributed.global_mesh(reads_axis="reads", reads=2)
+    assert mesh2.shape["reads"] == 2
+    files = [f"f{i}" for i in range(5)]
+    assert distributed.local_read_shards(files) == files  # 1 process
