@@ -56,8 +56,8 @@ class VariantFinder:
         """Build the overlap graph and enumerate candidate paths."""
         g = OverlapGraph(self.keys, self.k)
         ref_ix = self.target.seq_index
-        for a, b in zip(ref_ix[:-1], ref_ix[1:]):
-            g.set_edge(a, b, 0.01)
+        if len(ref_ix) > 1:
+            g.set_edges(ref_ix[:-1], ref_ix[1:], 0.01)
         g.set_edge(g.first_node, self.start_ix, 0.01)
         g.set_edge(self.end_ix, g.last_node, 0.01)
         g.init_paths()

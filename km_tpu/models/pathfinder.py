@@ -19,8 +19,12 @@ with the same weighting scheme and selection rules:
 - every surviving edge is spliced into predecessor-chain + edge +
   successor-chain; paths that span source->sink are kept and deduplicated.
 
-Representation differs from km: adjacency is sparse (built by hashing
-(k-1)-prefixes of packed keys), never an N x N dense matrix.
+Representation differs from km: adjacency is sparse — edges live in flat
+(src, dst, w) arrays merged last-write-wins into CSR form, never an
+N x N dense matrix, and the Dijkstra scan-min runs allocation-free on a
+working distance array (visited entries parked at +inf). Spliced paths
+reuse memoized predecessor/successor chains instead of re-walking the
+trees per edge.
 """
 
 from __future__ import annotations
@@ -41,63 +45,116 @@ class OverlapGraph:
         self.last_node = self.n_real + 1  # sink cap ("BigCrunch")
         self.k = k
 
-        # adjacency: per-node lists, grown then frozen to arrays
-        self._succ: list[dict[int, np.float32]] = [dict() for _ in range(self.n)]
-        self.edge_set: set[tuple[int, int]] = set()
+        # edges as growable parallel arrays; later writes win on merge
+        self._src: list[np.ndarray] = []
+        self._dst: list[np.ndarray] = []
+        self._w: list[np.ndarray] = []
 
         keys_arr = np.asarray(keys, dtype=np.uint64)
         if self.n_real:
             prefix = keys_arr >> np.uint64(2)
             suffix = keys_arr & np.uint64((1 << (2 * (k - 1))) - 1)
-            # group node ids by prefix value
+            # node j follows node i iff prefix(key_j) == suffix(key_i)
             order = np.argsort(prefix, kind="stable")
             sp = prefix[order]
             starts = np.searchsorted(sp, suffix, side="left")
             ends = np.searchsorted(sp, suffix, side="right")
-            for i in range(self.n_real):
-                for idx in range(starts[i], ends[i]):
-                    j = int(order[idx])
-                    if i != j:
-                        self.set_edge(i, j, 1.0)
+            counts = ends - starts
+            total = int(counts.sum())
+            if total:
+                src = np.repeat(np.arange(self.n_real, dtype=np.int64),
+                                counts)
+                # flat ranges [starts[i], ends[i]) without a Python loop
+                flat = (np.arange(total, dtype=np.int64)
+                        - np.repeat(np.cumsum(counts) - counts, counts)
+                        + np.repeat(starts, counts))
+                dst = order[flat]
+                keep = src != dst
+                src, dst = src[keep], dst[keep]
+                self._src.append(src)
+                self._dst.append(dst)
+                self._w.append(np.ones(len(src), dtype=np.float32))
 
     def set_edge(self, i: int, j: int, w: float) -> None:
-        self._succ[i][j] = np.float32(w)
-        self.edge_set.add((i, j))
+        self._src.append(np.asarray([i], dtype=np.int64))
+        self._dst.append(np.asarray([j], dtype=np.int64))
+        self._w.append(np.asarray([w], dtype=np.float32))
+
+    def set_edges(self, src, dst, w: float) -> None:
+        """Vectorized set_edge over parallel index arrays."""
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        self._src.append(src)
+        self._dst.append(dst)
+        self._w.append(np.full(len(src), w, dtype=np.float32))
 
     def freeze(self) -> None:
-        """Convert adjacency to arrays for the Dijkstra sweeps."""
-        self.succ_ids = [np.fromiter(d.keys(), dtype=np.int64, count=len(d))
-                         for d in self._succ]
-        self.succ_w = [np.fromiter(d.values(), dtype=np.float32, count=len(d))
-                       for d in self._succ]
-        pred: list[dict[int, np.float32]] = [dict() for _ in range(self.n)]
-        for i, d in enumerate(self._succ):
-            for j, w in d.items():
-                pred[j][i] = w
-        self.pred_ids = [np.fromiter(d.keys(), dtype=np.int64, count=len(d))
-                         for d in pred]
-        self.pred_w = [np.fromiter(d.values(), dtype=np.float32, count=len(d))
-                       for d in pred]
-
-    def _sweep(self, start: int, nbr_ids, nbr_w) -> np.ndarray:
-        """Scan-min Dijkstra; returns the predecessor array (w.r.t. the
-        direction given by the adjacency passed in)."""
+        """Merge edge writes (last wins) and build CSR adjacency for the
+        forward graph and its transpose."""
         n = self.n
+        src = np.concatenate(self._src) if self._src else \
+            np.empty(0, np.int64)
+        dst = np.concatenate(self._dst) if self._dst else \
+            np.empty(0, np.int64)
+        w = np.concatenate(self._w) if self._w else np.empty(0, np.float32)
+
+        # last write wins, result sorted by (src, dst) for CSR
+        pair = src * n + dst
+        _, last_rev = np.unique(pair[::-1], return_index=True)
+        keep = len(pair) - 1 - last_rev
+        src, dst, w = src[keep], dst[keep], w[keep]
+
+        self.esrc, self.edst = src, dst
+        self.edge_set: set[tuple[int, int]] = set(
+            zip(src.tolist(), dst.tolist()))
+
+        lens = np.bincount(src, minlength=n)
+        self.succ_ptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=self.succ_ptr[1:])
+        self.succ_ids = dst
+        self.succ_w = w
+
+        t_order = np.argsort(dst, kind="stable")
+        tlens = np.bincount(dst, minlength=n)
+        self.pred_ptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tlens, out=self.pred_ptr[1:])
+        self.pred_ids = src[t_order]
+        self.pred_w = w[t_order]
+
+    def _sweep(self, start: int, ptr, ids_flat, w_flat) -> np.ndarray:
+        """Scan-min Dijkstra; returns the predecessor array (w.r.t. the
+        direction given by the CSR adjacency passed in).
+
+        `work` mirrors `dist` with visited entries parked at +inf, so the
+        km scan-min (lowest index among unvisited minima,
+        km/utils/Graph.py:91-117) is one argmin over a contiguous array.
+        Once the unvisited minimum is +inf no relaxation can improve
+        anything (strictly positive weights), so re-scanning a parked
+        node is a no-op and the loop stays exactly n iterations.
+        """
+        from .. import native
+
+        n = self.n
+        if native.available():
+            return native.dijkstra_scanmin(ptr, ids_flat, w_flat, n, start)
         prev = np.full(n, -1, dtype=np.int32)
         dist = np.full(n, np.inf, dtype=np.float32)
-        unvisited = np.ones(n, dtype=bool)
         dist[start] = 0
+        work = dist.copy()
         for _ in range(n):
-            unv_ix = np.where(unvisited)[0]
-            i = int(unv_ix[dist[unv_ix].argmin()])
-            ids = nbr_ids[i]
-            if ids.size:
-                ndist = nbr_w[i] + dist[i]  # float32, matches km's w[i,:]+dist[i]
+            i = int(work.argmin())
+            work[i] = np.inf
+            lo, hi = ptr[i], ptr[i + 1]
+            if hi > lo:
+                ids = ids_flat[lo:hi]
+                ndist = w_flat[lo:hi] + dist[i]  # float32, matches km
                 better = ndist < dist[ids]
-                upd = ids[better]
-                dist[upd] = ndist[better]
-                prev[upd] = i
-            unvisited[i] = False
+                if better.any():
+                    upd = ids[better]
+                    nd = ndist[better]
+                    dist[upd] = nd
+                    work[upd] = nd
+                    prev[upd] = i
         return prev
 
     def init_paths(self) -> None:
@@ -105,9 +162,14 @@ class OverlapGraph:
         candidate set (km/utils/Graph.py:121-198 semantics, including the
         first-edge quirk noted in the module docstring)."""
         self.freeze()
-        self.before = self._sweep(self.first_node, self.succ_ids, self.succ_w)
-        self.after = self._sweep(self.last_node, self.pred_ids, self.pred_w)
+        self.before = self._sweep(self.first_node, self.succ_ptr,
+                                  self.succ_ids, self.succ_w)
+        self.after = self._sweep(self.last_node, self.pred_ptr,
+                                 self.pred_ids, self.pred_w)
+        self._before_chain: dict[int, tuple[int, ...]] = {}
+        self._after_chain: dict[int, tuple[int, ...]] = {}
 
+        debug = log.getLogger().isEnabledFor(log.DEBUG)
         removed = 0
         curs = set(np.where(self.before == self.first_node)[0])
         for cur in curs:
@@ -119,34 +181,53 @@ class OverlapGraph:
                 # never removes its outgoing edge, just like km.
                 if last_cur and (last_cur, cur) in self.edge_set:
                     self.edge_set.remove((last_cur, cur))
-                    log.debug("Removing (%d, %d)", last_cur, cur)
+                    if debug:
+                        log.debug("Removing (%d, %d)", last_cur, cur)
                     removed += 1
                 last_cur = cur
         log.info("Removed %d ref edges.", removed)
 
+    def _chain(self, node: int, tree: np.ndarray,
+               cache: dict[int, tuple[int, ...]]) -> tuple[int, ...]:
+        """Root-first chain (root, ..., node) following `tree` upward,
+        memoized across splices."""
+        got = cache.get(node)
+        if got is not None:
+            return got
+        stack = []
+        cur = node
+        while cur not in cache and tree[cur] != -1:
+            stack.append(cur)
+            cur = int(tree[cur])
+        base = cache.get(cur)
+        if base is None:
+            base = (cur,)
+            cache[cur] = base
+        for v in reversed(stack):
+            base = base + (v,)
+            cache[v] = base
+        return base
+
     def _splice(self, a: int, b: int):
         """Shortest source->sink path through edge (a, b), or None."""
-        path = [b, a]
-        cur = a
-        while self.before[cur] != -1:
-            cur = int(self.before[cur])
-            path.append(cur)
-        path.reverse()
-        cur = b
-        while self.after[cur] != -1:
-            cur = int(self.after[cur])
-            path.append(cur)
-        if path[0] != self.first_node or path[-1] != self.last_node:
+        ca = self._chain(a, self.before, self._before_chain)
+        if ca[0] != self.first_node:
             return None
-        return tuple(path)
+        cb = self._chain(b, self.after, self._after_chain)
+        if cb[0] != self.last_node:
+            return None
+        return ca + cb[::-1]
 
     def all_shortest(self) -> list[tuple[int, ...]]:
         """Unique spliced paths through all surviving candidate edges,
         in deterministic (sorted) order."""
         log.info("%d edges in non-ref edge set.", len(self.edge_set))
+        debug = log.getLogger().isEnabledFor(log.DEBUG)
         paths = set()
         for (i, j) in sorted(self.edge_set):
-            log.debug("Computing shortest path through edge: (%d, %d)", i, j)
+            if debug:
+                log.debug("Computing shortest path through edge: (%d, %d)",
+                          i, j)
             p = self._splice(i, j)
             if p:
                 paths.add(p)

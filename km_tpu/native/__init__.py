@@ -23,13 +23,18 @@ def _load():
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_DIR, "kmio.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         try:
-            subprocess.run(["make", "-C", _DIR], check=True,
+            subprocess.run(["make", "-C", _DIR, "-B"], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            _load_failed = True
-            return None
+            if not os.path.exists(_LIB_PATH):
+                _load_failed = True
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -49,6 +54,11 @@ def _load():
     lib.km_count_host.argtypes = [
         u8p, u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint32)]
+    lib.km_dijkstra_scanmin.restype = None
+    lib.km_dijkstra_scanmin.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return _lib
 
@@ -85,6 +95,21 @@ def parse_chunk(data: bytes, fastq: bool, min_quality: str | None = None
         raise ValueError("malformed FASTQ record")
     assert n >= 0, "parse capacity bug"
     return codes[:n], valid[:n].astype(bool), consumed.value
+
+
+def dijkstra_scanmin(ptr: np.ndarray, ids: np.ndarray, w: np.ndarray,
+                     n: int, start: int) -> np.ndarray:
+    """Native scan-min Dijkstra over CSR; returns the predecessor array
+    (int32, -1 where unreached)."""
+    lib = _load()
+    assert lib is not None
+    prev = np.full(n, -1, dtype=np.int32)
+    lib.km_dijkstra_scanmin(
+        ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, start,
+        prev.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return prev
 
 
 def count_host(codes: np.ndarray, valid: np.ndarray, k: int,

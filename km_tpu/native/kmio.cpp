@@ -18,6 +18,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -192,6 +193,43 @@ long km_count_host(const uint8_t* codes, const uint8_t* valid, long n,
   keys_out[out] = prev;
   counts_out[out] = cnt;
   return out + 1;
+}
+
+// Scan-min Dijkstra over a CSR digraph — the host-side inner loop of
+// alternative-path enumeration (capability of km/utils/Graph.py:63-119:
+// argmin over unvisited distances, lowest index on ties, float32
+// accumulation). Visited nodes are parked at +inf in a working copy of
+// the distance array; with strictly positive weights a re-scan of a
+// parked node relaxes nothing, so the loop runs exactly n iterations
+// like the reference. Writes the predecessor array to prev_out.
+void km_dijkstra_scanmin(const int64_t* ptr, const int64_t* ids,
+                         const float* w, long n, long start,
+                         int32_t* prev_out) {
+  const float inf = std::numeric_limits<float>::infinity();
+  std::vector<float> dist(n, inf), work(n, inf);
+  dist[start] = 0.0f;
+  work[start] = 0.0f;
+  for (long step = 0; step < n; step++) {
+    long i = 0;
+    float best = work[0];
+    for (long j = 1; j < n; j++) {
+      if (work[j] < best) {
+        best = work[j];
+        i = j;
+      }
+    }
+    work[i] = inf;
+    const float di = dist[i];
+    for (int64_t e = ptr[i]; e < ptr[i + 1]; e++) {
+      const int64_t j = ids[e];
+      const float nd = w[e] + di;  // float32, matches km's numerics
+      if (nd < dist[j]) {
+        dist[j] = nd;
+        work[j] = nd;
+        prev_out[j] = (int32_t)i;
+      }
+    }
+  }
 }
 
 }  // extern "C"

@@ -83,3 +83,58 @@ def test_native_fasta_parse(tmp_path):
     assert "ACGTAC" in got
     assert "TACGGT" in got  # spans the intra-record line break
     assert "GGTTTT" not in got  # must not span s1|s2
+
+
+def test_native_dijkstra_matches_numpy_sweep():
+    """The native scan-min sweep must be step-for-step identical to the
+    pure-numpy fallback (same float32 math, same lowest-index ties)."""
+    from km_tpu.models.pathfinder import OverlapGraph
+
+    rng = np.random.default_rng(14)
+    for trial in range(20):
+        n_real = int(rng.integers(2, 120))
+        g = OverlapGraph.__new__(OverlapGraph)
+        g.n_real = n_real
+        g.n = n_real + 2
+        g.first_node, g.last_node = n_real, n_real + 1
+        g._src, g._dst, g._w = [], [], []
+        # random sparse digraph with km-like weights (many exact ties)
+        m = int(rng.integers(1, 6 * n_real))
+        src = rng.integers(0, g.n, m)
+        dst = rng.integers(0, g.n, m)
+        keep = src != dst
+        for a, b in zip(src[keep], dst[keep]):
+            g.set_edge(int(a), int(b), float(rng.choice([1.0, 0.01])))
+        g.set_edge(g.first_node, 0, 0.01)
+        g.set_edge(1 % g.n_real, g.last_node, 0.01)
+        g.freeze()
+        for start in (g.first_node, g.last_node, 0):
+            got = native.dijkstra_scanmin(g.succ_ptr, g.succ_ids,
+                                          g.succ_w, g.n, start)
+            want = _numpy_sweep(g, start)
+            assert (got == want).all(), (trial, start)
+
+
+def _numpy_sweep(g, start):
+    """Copy of the pure-numpy fallback in OverlapGraph._sweep."""
+    ptr, ids_flat, w_flat = g.succ_ptr, g.succ_ids, g.succ_w
+    n = g.n
+    prev = np.full(n, -1, dtype=np.int32)
+    dist = np.full(n, np.inf, dtype=np.float32)
+    dist[start] = 0
+    work = dist.copy()
+    for _ in range(n):
+        i = int(work.argmin())
+        work[i] = np.inf
+        lo, hi = ptr[i], ptr[i + 1]
+        if hi > lo:
+            ids = ids_flat[lo:hi]
+            ndist = w_flat[lo:hi] + dist[i]
+            better = ndist < dist[ids]
+            if better.any():
+                upd = ids[better]
+                nd = ndist[better]
+                dist[upd] = nd
+                work[upd] = nd
+                prev[upd] = i
+    return prev
