@@ -54,6 +54,11 @@ def _load():
     lib.km_count_host.argtypes = [
         u8p, u8p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint32)]
+    lib.km_merge_runs.restype = ctypes.c_long
+    lib.km_merge_runs.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64)]
     lib.km_dijkstra_scanmin.restype = None
     lib.km_dijkstra_scanmin.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -95,6 +100,33 @@ def parse_chunk(data: bytes, fastq: bool, min_quality: str | None = None
         raise ValueError("malformed FASTQ record")
     assert n >= 0, "parse capacity bug"
     return codes[:n], valid[:n].astype(bool), consumed.value
+
+
+def merge_sorted_runs(runs) -> tuple[np.ndarray, np.ndarray]:
+    """K-way merge of sorted (keys uint64, counts int64) runs, summing
+    duplicate keys. One pass over all records in C."""
+    lib = _load()
+    assert lib is not None
+    runs = [(np.ascontiguousarray(k, dtype=np.uint64),
+             np.ascontiguousarray(c, dtype=np.int64)) for k, c in runs]
+    offsets = np.zeros(len(runs) + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum([len(k) for k, _ in runs])
+    total = int(offsets[-1])
+    keys = np.empty(total, dtype=np.uint64)
+    counts = np.empty(total, dtype=np.int64)
+    for (k, c), a, b in zip(runs, offsets[:-1], offsets[1:]):
+        keys[a:b] = k
+        counts[a:b] = c
+    out_keys = np.empty(total, dtype=np.uint64)
+    out_counts = np.empty(total, dtype=np.int64)
+    m = lib.km_merge_runs(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(runs),
+        out_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out_keys[:m].copy(), out_counts[:m].copy()
 
 
 def dijkstra_scanmin(ptr: np.ndarray, ids: np.ndarray, w: np.ndarray,

@@ -195,6 +195,54 @@ long km_count_host(const uint8_t* codes, const uint8_t* valid, long n,
   return out + 1;
 }
 
+// K-way merge of sorted (key, count) runs, summing duplicate keys —
+// the host-side combine step behind device chunk counting (capability
+// of Jellyfish's hash merge; the reference reaches it via `jellyfish
+// count`). runs are concatenated in keys/counts with offsets[s+1]
+// boundaries; each run must be ascending by key. Returns the number of
+// merged records written (<= total input records).
+long km_merge_runs(const uint64_t* keys, const int64_t* counts,
+                   const int64_t* offsets, long s, uint64_t* out_keys,
+                   int64_t* out_counts) {
+  // binary min-heap of (key, run) with the run's cursor advancing
+  struct Entry {
+    uint64_t key;
+    long run;
+  };
+  std::vector<Entry> heap;
+  std::vector<int64_t> cur(s);
+  heap.reserve(s);
+  for (long r = 0; r < s; r++) {
+    cur[r] = offsets[r];
+    if (offsets[r] < offsets[r + 1])
+      heap.push_back({keys[offsets[r]], r});
+  }
+  auto gt = [](const Entry& a, const Entry& b) { return a.key > b.key; };
+  std::make_heap(heap.begin(), heap.end(), gt);
+
+  long out = -1;
+  uint64_t prev_key = 0;
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), gt);
+    Entry e = heap.back();
+    heap.pop_back();
+    long i = cur[e.run]++;
+    if (out >= 0 && e.key == prev_key) {
+      out_counts[out] += counts[i];
+    } else {
+      out++;
+      out_keys[out] = e.key;
+      out_counts[out] = counts[i];
+      prev_key = e.key;
+    }
+    if (cur[e.run] < offsets[e.run + 1]) {
+      heap.push_back({keys[cur[e.run]], e.run});
+      std::push_heap(heap.begin(), heap.end(), gt);
+    }
+  }
+  return out + 1;
+}
+
 // Scan-min Dijkstra over a CSR digraph — the host-side inner loop of
 // alternative-path enumeration (capability of km/utils/Graph.py:63-119:
 // argmin over unvisited distances, lowest index on ties, float32

@@ -161,6 +161,34 @@ def runs_from_sorted(shi, slo):
     return shi, slo, lengths
 
 
+def runs_from_sorted_chunked(shi, slo, chunk: int):
+    """Per-chunk variant of :func:`runs_from_sorted`: the keys are
+    sorted within independent ``chunk``-sized chunks (the layout the
+    Pallas chunk sort produces), so run detection and the reverse
+    cummin are row-wise over a (n/chunk, chunk) view. A key spanning
+    two chunks yields one run per chunk; downstream merging sums them
+    like any other duplicate runs."""
+    import jax
+    jnp = _jnp()
+
+    n = shi.shape[0]
+    c = n // chunk
+    h = shi.reshape(c, chunk)
+    l = slo.reshape(c, chunk)
+    first = jnp.concatenate([
+        jnp.ones((c, 1), dtype=bool),
+        (h[:, 1:] != h[:, :-1]) | (l[:, 1:] != l[:, :-1]),
+    ], axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (c, chunk), 1)
+    idx = jnp.where(first, pos, jnp.int32(chunk))
+    nxt = jax.lax.cummin(
+        jnp.concatenate([idx[:, 1:],
+                         jnp.full((c, 1), chunk, jnp.int32)], axis=1),
+        axis=1, reverse=True)
+    lengths = jnp.where(first, nxt - pos, 0)
+    return shi, slo, lengths.reshape(n)
+
+
 def sum_runs_device(rhi, rlo, rcnt):
     """Unsorted (key, count) records -> sorted keys with each unique
     key's summed count stored in place at its run start (zeros
@@ -197,16 +225,25 @@ def sum_runs_device(rhi, rlo, rcnt):
 
 
 def count_chunk_device(codes, valid, k: int, canonical: bool = True,
-                       use_pallas: bool | None = None):
-    """Jittable: fixed-size uint8 code chunk -> sorted (hi, lo) keys with
-    each unique key's count stored at its run start (zeros elsewhere;
-    callers filter on count > 0). Invalid or off-the-end windows collapse
-    onto a sentinel key whose run is zeroed here.
+                       use_pallas: bool | None = None,
+                       use_pallas_sort: bool | None = None,
+                       sort_chunk: int | None = None):
+    """Jittable: fixed-size uint8 code chunk -> (hi, lo) keys with each
+    unique key's count stored at its run start (zeros elsewhere; callers
+    filter on count > 0). Invalid or off-the-end windows collapse onto a
+    sentinel key whose run is zeroed here.
 
     The window pack + canonicalize + sentinel stage runs as a fused
     Pallas kernel (km_tpu.ops.pallas_pack) when the chunk shape allows
     and a TPU backend is present; the XLA formulation is the fallback
-    (and the spec the kernel is tested against)."""
+    (and the spec the kernel is tested against).
+
+    The grouping sort likewise prefers the Pallas bitonic chunk sort
+    (km_tpu.ops.pallas_sort, ~an order of magnitude over XLA's
+    comparator sort): keys are then sorted *within* sort_chunk-sized
+    chunks rather than globally, each chunk carrying its own runs —
+    every consumer already merges runs, so only the number of partial
+    runs changes. With the XLA sort the result is globally sorted."""
     import jax
     jnp = _jnp()
 
@@ -245,33 +282,101 @@ def count_chunk_device(codes, valid, k: int, canonical: bool = True,
         hi = jnp.where(wv, hi, sentinel)
         lo = jnp.where(wv, lo, sentinel)
 
-    shi, slo = jax.lax.sort((hi, lo), num_keys=2)
-    rhi, rlo, lengths = runs_from_sorted(shi, slo)
-    # kill the sentinel run (invalid windows / end padding)
+    from . import pallas_sort
+
+    if sort_chunk is None:
+        sort_chunk = pallas_sort.CHUNK
+    if use_pallas_sort is None:
+        use_pallas_sort = (jax.default_backend() not in ("cpu",)
+                           and hi.shape[0] >= sort_chunk)
+
+    if use_pallas_sort:
+        n_win = hi.shape[0]
+        padded = -(-n_win // sort_chunk) * sort_chunk
+        if padded > n_win:
+            pad = jnp.full(padded - n_win, sentinel, jnp.uint32)
+            hi = jnp.concatenate([hi, pad])
+            lo = jnp.concatenate([lo, pad])
+        interp = jax.default_backend() == "cpu"
+        shi, slo = pallas_sort.sort_chunks(hi, lo, chunk=sort_chunk,
+                                           interpret=interp)
+        rhi, rlo, lengths = runs_from_sorted_chunked(shi, slo, sort_chunk)
+    else:
+        shi, slo = jax.lax.sort((hi, lo), num_keys=2)
+        rhi, rlo, lengths = runs_from_sorted(shi, slo)
+    # kill the sentinel runs (invalid windows / end padding)
     is_sent = (rhi == sentinel) & (rlo == sentinel)
     return rhi, rlo, jnp.where(is_sent, 0, lengths)
 
 
+_JIT_CACHE: dict[tuple, object] = {}
+
+
+def _jitted_count_chunk(k: int, canonical: bool, use_pallas_sort: bool,
+                        sort_chunk: int):
+    """One jit wrapper per static signature, statics closed over so the
+    wrapper sees only array arguments. Mixing several static-argument
+    combinations on one wrapper trips a fastpath-cache bug in this jax
+    build (the second call of a second combination retrieves the first
+    combination's executable: 'supplied 2 buffers but compiled program
+    expected 5')."""
+    key = (k, canonical, use_pallas_sort, sort_chunk)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        import functools
+
+        import jax
+
+        fn = jax.jit(functools.partial(
+            count_chunk_device, k=k, canonical=canonical,
+            use_pallas_sort=use_pallas_sort, sort_chunk=sort_chunk))
+        _JIT_CACHE[key] = fn
+    return fn
+
+
 def count_batches_device(batches, k: int, canonical: bool = True,
-                         min_count: int = 1, chunk: int = 1 << 22):
+                         min_count: int = 1, chunk: int = 1 << 22,
+                         use_pallas_sort: bool | None = None,
+                         sort_chunk: int | None = None):
     """Count k-mers over (codes, valid) host batches using the device
-    kernel, merging per-chunk runs on the host."""
+    kernel. Each device dispatch yields one (XLA global sort) or many
+    (Pallas chunk sort) sorted runs; all runs combine in a single
+    native k-way merge at the end (numpy pairwise merge as fallback)."""
     import jax
     import jax.numpy as jnp
 
-    fn = jax.jit(count_chunk_device, static_argnames=("k", "canonical"))
+    from .. import native
+    from . import pallas_sort
 
-    acc_keys = np.empty(0, dtype=np.uint64)
-    acc_counts = np.empty(0, dtype=np.int64)
+    if sort_chunk is None:
+        sort_chunk = pallas_sort.CHUNK
+    if use_pallas_sort is None:
+        use_pallas_sort = (jax.default_backend() not in ("cpu",)
+                           and chunk - k + 1 >= sort_chunk)
+
+    fn = _jitted_count_chunk(k, canonical, use_pallas_sort, sort_chunk)
+
+    runs: list[tuple[np.ndarray, np.ndarray]] = []
     for codes, valid in chunk_stream(batches, chunk, k):
-        hi, lo, counts = fn(jnp.asarray(codes), jnp.asarray(valid),
-                            k=k, canonical=canonical)
+        hi, lo, counts = fn(jnp.asarray(codes), jnp.asarray(valid))
         hi = np.asarray(hi, dtype=np.uint64)
         lo = np.asarray(lo, dtype=np.uint64)
-        counts = np.asarray(counts)
-        keep = counts > 0
-        keys = (hi[keep] << np.uint64(32)) | lo[keep]
-        acc_keys, acc_counts = merge_runs(acc_keys, acc_counts,
-                                          keys, counts[keep])
+        counts = np.asarray(counts).astype(np.int64)
+        keys = (hi << np.uint64(32)) | lo
+        stride = sort_chunk if use_pallas_sort else len(keys)
+        for off in range(0, len(keys), stride):
+            c = counts[off:off + stride]
+            keep = c > 0
+            if keep.any():
+                runs.append((keys[off:off + stride][keep], c[keep]))
+
+    if not runs:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+    if native.available():
+        acc_keys, acc_counts = native.merge_sorted_runs(runs)
+    else:
+        acc_keys, acc_counts = runs[0]
+        for rk, rc in runs[1:]:
+            acc_keys, acc_counts = merge_runs(acc_keys, acc_counts, rk, rc)
     keep = acc_counts >= min_count
     return acc_keys[keep], acc_counts[keep].astype(np.uint32)

@@ -138,3 +138,21 @@ def _numpy_sweep(g, start):
                 work[upd] = nd
                 prev[upd] = i
     return prev
+
+
+def test_native_merge_sorted_runs():
+    rng = np.random.default_rng(15)
+    runs = []
+    want: dict[int, int] = {}
+    for _ in range(7):
+        keys = np.unique(rng.integers(0, 500, rng.integers(1, 80),
+                                      dtype=np.uint64))
+        counts = rng.integers(1, 9, len(keys)).astype(np.int64)
+        runs.append((keys, counts))
+        for k_, c in zip(keys, counts):
+            want[int(k_)] = want.get(int(k_), 0) + int(c)
+    runs.append((np.empty(0, np.uint64), np.empty(0, np.int64)))  # empty run
+    mk, mc = native.merge_sorted_runs(runs)
+    assert list(mk) == sorted(want)
+    assert {int(a): int(b) for a, b in zip(mk, mc)} == want
+    assert (np.diff(mk.astype(np.int64)) > 0).all()

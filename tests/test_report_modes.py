@@ -83,3 +83,33 @@ def test_min_cov_filter_drops_rows(npm1_fm):
                                        min_cov=10**9))
     lines = out.rstrip("\n").split("\n")
     assert len(lines) == 1  # header only
+
+
+def test_minus_strand_vcf_mirrors_plus(tmp_path):
+    """Strand symmetry: analysing the reverse-complemented target marked
+    strand=- against the same canonical table must describe the same
+    genomic event — identical VCF data row — as the '+' original
+    (coordinate mapping per reference km/tools/find_report.py:58-76,
+    VCF revcomp per :283-288)."""
+    dn_target = f"{REFDATA}/catalog/GRCh38/DNMT3A_R882_exon_23.fa"
+    dn_jf = f"{REFDATA}/jf/02H033_DNMT3A_sub.jf"
+
+    with open(dn_target) as f:
+        header = f.readline().strip()
+        seq = "".join(line.strip() for line in f)
+    comp = str.maketrans("ACGT", "TGCA")
+    rc = seq.translate(comp)[::-1]
+    minus = tmp_path / "DNMT3A_minus.fa"
+    minus.write_text(f"{header} | strand=-\n{rc}\n")
+
+    vcfs = []
+    for target in (dn_target, str(minus)):
+        fm, _ = run_tool(main_find_mut, find_mutation_args(target, dn_jf))
+        vcf, _ = run_tool(main_find_report,
+                          find_report_args(target, StringIO(fm),
+                                           format="vcf"))
+        rows = [l.replace("TARGET=DNMT3A_minus", "TARGET=DNMT3A_R882_exon_23")
+                for l in vcf.split("\n") if l and not l.startswith("#")]
+        vcfs.append(rows)
+    assert vcfs[0] == vcfs[1]
+    assert len(vcfs[0]) == 1 and "\t25234373\t.\tC\tT\t" in vcfs[0][0]
