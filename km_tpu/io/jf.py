@@ -49,6 +49,72 @@ def read_header(path: str) -> dict:
     return obj
 
 
+def write_jf(path: str, keys: np.ndarray, counts: np.ndarray, k: int,
+             canonical: bool, cmdline=None) -> None:
+    """Write a ``.jf`` count table (binary/sorted layout).
+
+    Produces the same record layout Jellyfish emits (9-digit ASCII header
+    length, JSON header, then 8-byte LE packed key + ``counter_len``-byte
+    LE count per record; see module docstring). Records are written in
+    ascending key order and the header carries identity hashing matrices,
+    i.e. hash(key) == key, so key order IS hash order — valid for the
+    format's sorted invariant, and exactly what ``read_jf``/``CountTable``
+    expect. Replaces the persistence side of ``jellyfish count -o``
+    (reference: example/run_leucegene.sh:22) for tables produced by
+    ``km-tpu count``.
+    """
+    keys = np.asarray(keys, dtype=np.uint64)
+    counts = np.asarray(counts, dtype=np.uint64)
+    if len(keys) != len(counts):
+        raise ValueError("keys and counts must have equal length")
+    if k > 32:
+        raise ValueError(f"k={k} > 32 not supported by the 64-bit key path")
+    order = np.argsort(keys, kind="stable")
+    keys, counts = keys[order], counts[order]
+
+    counter_len = 4
+    maxc = int(counts.max()) if len(counts) else 0
+    while maxc >= 1 << (8 * counter_len):
+        counter_len += 1
+    key_len = 2 * k
+    # identity GF(2) matrix: column i selects bit i (little-endian column
+    # vectors, one uint64 per column as jellyfish serializes r<=64 rows)
+    ident = {"c": key_len, "r": key_len,
+             "columns": [1 << (key_len - 1 - i) for i in range(key_len)]}
+    header = {
+        "alignment": 8,
+        "canonical": bool(canonical),
+        "cmdline": list(cmdline) if cmdline else ["km-tpu", "count"],
+        "counter_len": counter_len,
+        "format": "binary/sorted",
+        "key_len": key_len,
+        "matrix1": ident,
+        "max_reprobe": 0,
+        "reprobes": [0],
+        "size": int(len(keys)),
+        "val_len": counter_len,
+    }
+    blob = json.dumps(header, sort_keys=True).encode("ascii")
+    hlen = (len(blob) + 9 + 7) // 8 * 8 - 9 + 8  # pad so data is 8-aligned
+    if hlen < len(blob):
+        hlen = len(blob)
+    pad = hlen - len(blob)
+
+    n = len(keys)
+    rec = 8 + counter_len
+    raw = np.zeros((n, rec), dtype=np.uint8)
+    raw[:, :8] = keys.view(np.uint8).reshape(n, 8)
+    for b in range(counter_len):
+        raw[:, 8 + b] = ((counts >> np.uint64(8 * b))
+                         & np.uint64(0xFF)).astype(np.uint8)
+
+    with open(path, "wb") as f:
+        f.write(b"%09d" % hlen)
+        f.write(blob)
+        f.write(b" " * pad)
+        f.write(raw.tobytes())
+
+
 def read_jf(path: str) -> JFData:
     """Decode all records of a .jf file into packed-key/count arrays."""
     header = read_header(path)
@@ -76,9 +142,11 @@ def read_jf(path: str) -> JFData:
     raw = np.frombuffer(data[: n * rec], dtype=np.uint8).reshape(n, rec)
     # key: little-endian uint64 (key_bytes == 8 for all k <= 32)
     keys = raw[:, :8].copy().view("<u8").reshape(n)
-    counts = np.zeros(n, dtype=np.uint32)
+    counts = np.zeros(n, dtype=np.uint64)
     for b in range(counter_len):
-        counts |= raw[:, key_bytes + b].astype(np.uint32) << np.uint32(8 * b)
+        counts |= raw[:, key_bytes + b].astype(np.uint64) << np.uint64(8 * b)
+    if counter_len <= 4 or (len(counts) and counts.max() < 1 << 32):
+        counts = counts.astype(np.uint32)
 
     return JFData(k=k, canonical=bool(header["canonical"]), keys=keys,
                   counts=counts, header=header)

@@ -71,9 +71,19 @@ class CountTable:
                                k, canonical, name=name, presorted=True)
 
     def save(self, path: str) -> None:
-        """Persist (the checkpoint of the expensive counting phase)."""
-        np.savez(path, keys=self.keys, counts=self.counts,
-                 k=np.int64(self.k), canonical=np.bool_(self.canonical))
+        """Persist (the checkpoint of the expensive counting phase).
+
+        ``.jf`` paths write Jellyfish's binary/sorted layout (so tables
+        produced here remain consumable by km's toolchain); anything else
+        writes the native .npz form.
+        """
+        if path.endswith(".jf"):
+            from ..io.jf import write_jf
+
+            write_jf(path, self.keys, self.counts, self.k, self.canonical)
+        else:
+            np.savez(path, keys=self.keys, counts=self.counts,
+                     k=np.int64(self.k), canonical=np.bool_(self.canonical))
 
     @classmethod
     def load(cls, path: str) -> "CountTable":

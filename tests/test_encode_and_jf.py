@@ -88,3 +88,46 @@ def test_count_table_save_load(tmp_path):
     t2 = CountTable.load(p)
     assert t2.k == t.k and t2.canonical == t.canonical
     assert (t2.keys == t.keys).all() and (t2.counts == t.counts).all()
+
+
+def test_jf_writer_roundtrip(tmp_path):
+    """write_jf emits a binary/sorted file our reader decodes identically."""
+    from km_tpu.io.jf import write_jf
+
+    t = CountTable.from_jf(f"{REFDATA}/jf/02H025_NPM1.jf")
+    p = str(tmp_path / "rt.jf")
+    write_jf(p, t.keys, t.counts, t.k, t.canonical)
+    t2 = CountTable.from_jf(p)
+    assert t2.k == t.k and t2.canonical == t.canonical
+    assert (t2.keys == t.keys).all() and (t2.counts == t.counts).all()
+    # header sanity: data offset 8-aligned, identity hash matrix
+    data = read_jf(p)
+    assert data.header["format"] == "binary/sorted"
+    cols = data.header["matrix1"]["columns"]
+    assert len(cols) == 2 * t.k and cols[0] == 1 << (2 * t.k - 1)
+
+
+def test_jf_writer_wide_counts(tmp_path):
+    """counts above 32 bits widen counter_len instead of truncating."""
+    from km_tpu.io.jf import read_header, write_jf
+
+    keys = np.array([5, 9, 21], dtype=np.uint64)
+    counts = np.array([1, 2, 1 << 33], dtype=np.uint64)
+    p = str(tmp_path / "wide.jf")
+    write_jf(p, keys, counts, k=31, canonical=True)
+    hdr = read_header(p)
+    assert hdr["counter_len"] == 5
+    d = read_jf(p)
+    assert list(d.keys) == [5, 9, 21]
+    assert int(d.counts[2]) == 1 << 33
+
+
+def test_count_table_save_jf_pipeline(tmp_path):
+    """CountTable.save('.jf') output feeds find_mutation like any .jf."""
+    from km_tpu.tools.find_mutation import load_table
+
+    t = CountTable.from_jf(f"{REFDATA}/jf/03H116_ITD.jf")
+    p = str(tmp_path / "saved.jf")
+    t.save(p)
+    t2 = load_table(p)
+    assert (t2.keys == t.keys).all() and (t2.counts == t.counts).all()
