@@ -21,6 +21,16 @@ def main_count(args, argparser):
     batches = read_batches(args.reads_fn, min_quality=args.min_quality)
 
     use_device = args.device in ("auto", "tpu", "cpu")
+    if args.device == "auto":
+        # tiny inputs: a device round-trip costs a fresh XLA compile
+        # (tens of seconds through a remote tunnel) for work numpy does
+        # in milliseconds
+        import os
+
+        total = sum(os.path.getsize(p) for p in args.reads_fn
+                    if os.path.exists(p))
+        if total < 8 << 20:
+            use_device = False
     if use_device:
         keys, counts = opcount.count_batches_device(
             batches, args.k, canonical=args.canonical,

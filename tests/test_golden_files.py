@@ -13,16 +13,24 @@ from km_tpu.tools.find_report import main_find_report
 from helpers import REFDATA, find_mutation_args, find_report_args, run_tool
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
-CAT = f"{REFDATA}/catalog/GRCh38"
 JF = f"{REFDATA}/jf"
 
-CASES = {
-    "NPM1": (f"{CAT}/NPM1_4ins_exons_10-11utr.fa", f"{JF}/02H025_NPM1.jf"),
-    "FLT3_ITD": (f"{CAT}/FLT3-ITD_exons_13-15.fa", f"{JF}/03H116_ITD.jf"),
-    "FLT3_IandI": (f"{CAT}/FLT3-ITD_exons_13-15.fa", f"{JF}/03H112_IandI.jf"),
-    "FLT3_TKD": (f"{CAT}/FLT3-TKD_exon_20.fa", f"{JF}/05H094_FLT3-TKD_del.jf"),
-    "DNMT3A": (f"{CAT}/DNMT3A_R882_exon_23.fa", f"{JF}/02H033_DNMT3A_sub.jf"),
+# GRCh38 goldens are anchored to the reference's own test expectations;
+# the GRCh37 set (tests/golden/GRCh37/, same variants, build-37
+# coordinates) is frozen from this engine as coordinate-mapping
+# regression coverage for the second catalog build the reference ships.
+_TARGETS = {
+    "NPM1": ("NPM1_4ins_exons_10-11utr.fa", "02H025_NPM1.jf"),
+    "FLT3_ITD": ("FLT3-ITD_exons_13-15.fa", "03H116_ITD.jf"),
+    "FLT3_IandI": ("FLT3-ITD_exons_13-15.fa", "03H112_IandI.jf"),
+    "FLT3_TKD": ("FLT3-TKD_exon_20.fa", "05H094_FLT3-TKD_del.jf"),
+    "DNMT3A": ("DNMT3A_R882_exon_23.fa", "02H033_DNMT3A_sub.jf"),
 }
+CASES = {}
+for _name, (_fa, _jf) in _TARGETS.items():
+    CASES[_name] = (f"{REFDATA}/catalog/GRCh38/{_fa}", f"{JF}/{_jf}")
+    CASES[f"GRCh37/{_name}"] = (f"{REFDATA}/catalog/GRCh37/{_fa}",
+                                f"{JF}/{_jf}")
 
 
 def _read(name):
