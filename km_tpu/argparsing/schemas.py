@@ -56,6 +56,11 @@ def add_find_mutation_args(parser):
         help="Write a jax.profiler device trace to DIR (and log per-phase "
              "timings; combine with -v).")
     parser.add_argument(
+        "--batch", action="store_true",
+        help="Walk all targets together through one batched frontier "
+             "expansion (km_tpu extension; rows are identical to the "
+             "sequential mode's).")
+    parser.add_argument(
         "target_fn", nargs="*",
         help="Filename of the target sequence file or directory.")
     parser.add_argument(

@@ -55,19 +55,27 @@ def main_find_mut(args, argparser):
         targets.append(TargetSeq("".join(seqs), ref_name, table.k))
 
     with profiling.device_trace(getattr(args, "profile", None)):
-        for target in targets:
-            with profiling.phase("walk"):
-                finder = VariantFinder(
-                    target, table, ratio=args.ratio, count=args.count,
-                    max_stack=args.steps, max_break=args.branchs,
-                    max_node=args.nodes,
-                )
-                finder.find_alt_paths()
-            with profiling.phase("quantify"):
-                finder.quantify_paths(args.graphical)
-                finder.quantify_clusters(args.graphical)
-            for row in finder.sorted_rows():
-                sys.stdout.write(str(row) + "\n")
+        if getattr(args, "batch", False):
+            # batched catalog mode: one frontier walk advances every
+            # target together (km_tpu extension; km loops targets
+            # through separate processes, example/run_leucegene.sh:29-35)
+            from .batchmode import emit_batched
+
+            emit_batched(targets, table, args)
+        else:
+            for target in targets:
+                with profiling.phase("walk"):
+                    finder = VariantFinder(
+                        target, table, ratio=args.ratio, count=args.count,
+                        max_stack=args.steps, max_break=args.branchs,
+                        max_node=args.nodes,
+                    )
+                    finder.find_alt_paths()
+                with profiling.phase("quantify"):
+                    finder.quantify_paths(args.graphical)
+                    finder.quantify_clusters(args.graphical)
+                for row in finder.sorted_rows():
+                    sys.stdout.write(str(row) + "\n")
     profiling.report()
 
     sys.stdout.write("#Elapsed time:" + str(time.time() - time_start) + "\n")
