@@ -56,12 +56,17 @@ def write_jf(path: str, keys: np.ndarray, counts: np.ndarray, k: int,
     Produces the same record layout Jellyfish emits (9-digit ASCII header
     length, JSON header, then 8-byte LE packed key + ``counter_len``-byte
     LE count per record; see module docstring). Records are written in
-    ascending key order and the header carries identity hashing matrices,
-    i.e. hash(key) == key, so key order IS hash order — valid for the
-    format's sorted invariant, and exactly what ``read_jf``/``CountTable``
-    expect. Replaces the persistence side of ``jellyfish count -o``
-    (reference: example/run_leucegene.sh:22) for tables produced by
-    ``km-tpu count``.
+    ascending key order and the header carries an identity (full-rank,
+    square) hashing matrix, i.e. hash(key) == key, so key order IS hash
+    order — the format's sorted invariant, and exactly what
+    ``read_jf``/``CountTable`` expect. Header fields follow the fixture
+    conventions where observable (``size`` a power of two, ``val_len`` in
+    bits), but files written here are verified readable only by km-tpu's
+    own reader: Jellyfish's C++ query tools derive their binary-search
+    geometry from ``size``/``matrix1`` in ways that cannot be validated in
+    this environment (no bindings), so cross-tool consumption is not
+    claimed. Replaces the persistence side of ``jellyfish count -o``
+    (reference: example/run_leucegene.sh:22) for ``km-tpu count`` tables.
     """
     keys = np.asarray(keys, dtype=np.uint64)
     counts = np.asarray(counts, dtype=np.uint64)
@@ -76,7 +81,10 @@ def write_jf(path: str, keys: np.ndarray, counts: np.ndarray, k: int,
     maxc = int(counts.max()) if len(counts) else 0
     while maxc >= 1 << (8 * counter_len):
         counter_len += 1
+    val_len = max(1, maxc.bit_length())  # in bits, like jellyfish's -c
     key_len = 2 * k
+    # hash-table size: a power of two, like jellyfish sizes its hash
+    size = 1 << max(1, (2 * max(len(keys), 1) - 1).bit_length())
     # identity GF(2) matrix: column i selects bit i (little-endian column
     # vectors, one uint64 per column as jellyfish serializes r<=64 rows)
     ident = {"c": key_len, "r": key_len,
@@ -91,13 +99,12 @@ def write_jf(path: str, keys: np.ndarray, counts: np.ndarray, k: int,
         "matrix1": ident,
         "max_reprobe": 0,
         "reprobes": [0],
-        "size": int(len(keys)),
-        "val_len": counter_len,
+        "size": size,
+        "val_len": val_len,
     }
     blob = json.dumps(header, sort_keys=True).encode("ascii")
-    hlen = (len(blob) + 9 + 7) // 8 * 8 - 9 + 8  # pad so data is 8-aligned
-    if hlen < len(blob):
-        hlen = len(blob)
+    # pad the declared header length so data starts 8-byte aligned
+    hlen = -(-(len(blob) + 9) // 8) * 8 - 9
     pad = hlen - len(blob)
 
     n = len(keys)

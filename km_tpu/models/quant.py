@@ -106,6 +106,12 @@ class PathRow:
             self.expression, self.min_coverage, self.start_off,
             self.sequence, self.ref_expression, self.ref_sequence, self.note)
 
+    @property
+    def type(self) -> str:
+        """Variant type (the Type column — first half of the embedded
+        Type\\tVariant_name pair)."""
+        return self.variant_name.split("\t")[0]
+
     def fields(self):
         return str(self).split("\t")
 

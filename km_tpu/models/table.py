@@ -41,7 +41,12 @@ class CountTable:
     @classmethod
     def from_arrays(cls, keys, counts, k, canonical, name="", presorted=False):
         keys = np.asarray(keys, dtype=np.uint64)
-        counts = np.asarray(counts, dtype=np.uint32)
+        counts = np.asarray(counts)
+        # keep uint64 when counts genuinely exceed 32 bits (wide-counter
+        # .jf tables); never wrap silently
+        if counts.dtype != np.uint32:
+            wide = len(counts) and int(counts.max()) >= 1 << 32
+            counts = counts.astype(np.uint64 if wide else np.uint32)
         if not presorted:
             order = np.argsort(keys, kind="stable")
             keys, counts = keys[order], counts[order]
@@ -87,6 +92,9 @@ class CountTable:
 
     @classmethod
     def load(cls, path: str) -> "CountTable":
+        """Inverse of save(): dispatches on extension like save() does."""
+        if path.endswith(".jf"):
+            return cls.from_jf(path)
         with np.load(path) as z:
             return cls(k=int(z["k"]), canonical=bool(z["canonical"]),
                        keys=z["keys"], counts=z["counts"], name=path)

@@ -315,11 +315,14 @@ _JIT_CACHE: dict[tuple, object] = {}
 def _jitted_count_chunk(k: int, canonical: bool, use_pallas_sort: bool,
                         sort_chunk: int):
     """One jit wrapper per static signature, statics closed over so the
-    wrapper sees only array arguments. Mixing several static-argument
-    combinations on one wrapper trips a fastpath-cache bug in this jax
-    build (the second call of a second combination retrieves the first
-    combination's executable: 'supplied 2 buffers but compiled program
-    expected 5')."""
+    wrapper sees only array arguments (and each wrapper is built once —
+    re-wrapping per call would discard jit's compile cache).
+
+    Historical note: the 'supplied 2 buffers but compiled program
+    expected 5' crashes this cache was first built to dodge were really
+    module-level jnp scalar constants being captured as runtime buffers
+    that this jax build's dispatch fastpath then dropped; those
+    constants are numpy scalars now (see ops/device_table.py)."""
     key = (k, canonical, use_pallas_sort, sort_chunk)
     fn = _JIT_CACHE.get(key)
     if fn is None:

@@ -191,9 +191,14 @@ class DeviceCountTable:
 # ---------------------------------------------------------------------------
 # split-key bit manipulation (device)
 
-_M2 = jnp.uint32(0x33333333)
-_M4 = jnp.uint32(0x0F0F0F0F)
-_M8 = jnp.uint32(0x00FF00FF)
+# NB: numpy scalars, NOT jnp — module-level jax Arrays captured as jaxpr
+# consts become runtime parameter buffers, and this jax build's dispatch
+# fastpath drops const buffers on a function's second invocation
+# ("Execution supplied 2 buffers but compiled program expected 5").
+# numpy scalars inline as HLO literals instead.
+_M2 = np.uint32(0x33333333)
+_M4 = np.uint32(0x0F0F0F0F)
+_M8 = np.uint32(0x00FF00FF)
 
 
 def _revpairs32(v):

@@ -4,9 +4,10 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 from argparse import Namespace
 
-REFDATA = "/root/reference/data"
+REFDATA = os.environ.get("KM_TPU_REFDATA", "/root/reference/data")
 
 
 def run_tool(main, args: Namespace) -> tuple[str, str]:
