@@ -152,17 +152,28 @@ class PrecomputedWalker:
 
 def run_catalog(targets: list[TargetSeq], table, ratio=0.05, count=5,
                 max_stack=500, max_break=10, max_node=10000,
-                walk: str = "auto"):
-    """Full batched pipeline: frontier walk, then per-target graph /
-    quantification / classification. Returns one sorted row list per
-    target.
+                walk: str = "auto", quant: str = "auto",
+                pathing: str = "auto", graphical: bool = False):
+    """Full batched pipeline: frontier walk, then graph / path
+    enumeration / quantification / classification across all targets.
+    Returns one sorted row list per target.
 
     walk: 'host' = host-orchestrated rounds (one device dispatch per
     round), 'device' = single-dispatch while_loop walk
     (ops.batch_walk), 'auto' = device when the table lives on device.
+    quant: 'host' = per-problem spec NNLS, 'device' = one batched
+    dispatch for every problem of every target (ops.nnls), 'auto' =
+    follow the walk choice.
+    pathing: 'host' = per-target scan-min Dijkstra, 'device' = batched
+    lockstep Dijkstra across targets (ops.pathgraph), 'auto' = follow
+    the walk choice.
     """
     if walk == "auto":
         walk = "device" if isinstance(table, DeviceCountTable) else "host"
+    if quant == "auto":
+        quant = walk
+    if pathing == "auto":
+        pathing = walk
     if walk == "device":
         from ..ops.batch_walk import device_discover
 
@@ -176,14 +187,34 @@ def run_catalog(targets: list[TargetSeq], table, ratio=0.05, count=5,
                                     count=count, max_stack=max_stack,
                                     max_break=max_break,
                                     max_node=max_node)
-    all_rows = []
+
+    finders = []
     for target, node_data in zip(targets, node_datas):
         finder = finder_from_nodes(target, table, node_data)
-        finder.find_alt_paths()
-        finder.quantify_paths()
-        finder.quantify_clusters()
-        all_rows.append(finder.sorted_rows())
-    return all_rows
+        finders.append(finder)
+    if pathing == "device":
+        from ..ops.pathgraph import batched_alt_paths
+
+        batched_alt_paths(finders)
+    else:
+        for finder in finders:
+            finder.find_alt_paths()
+
+    if quant == "device" and not graphical:
+        from ..ops import nnls
+
+        jobs, emits = [], []
+        for finder in finders:
+            for paths, emit in finder.quant_jobs():
+                jobs.append((paths, finder.counts))
+                emits.append(emit)
+        for emit, (coef, rvaf) in zip(emits, nnls.solve_batch(jobs)):
+            emit(coef, rvaf)
+    else:
+        for finder in finders:
+            finder.quantify_paths(graphical)
+            finder.quantify_clusters(graphical)
+    return [finder.sorted_rows() for finder in finders]
 
 
 def finder_from_nodes(target: TargetSeq, table, node_data: dict[int, int]):

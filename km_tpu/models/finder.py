@@ -16,9 +16,9 @@ import logging as log
 import numpy as np
 
 from ..utils.natsort import natsortkey
-from . import classify
+from . import classify, quant
 from .pathfinder import OverlapGraph
-from .quant import PathQuant, PathRow
+from .quant import PathRow
 from .sequence import TargetSeq
 from .walk import Walker
 
@@ -52,17 +52,26 @@ class VariantFinder:
 
     # -- graph -------------------------------------------------------------
 
-    def find_alt_paths(self) -> None:
-        """Build the overlap graph and enumerate candidate paths."""
+    def build_graph(self) -> OverlapGraph:
+        """Weighted overlap graph of this target's node set (unfrozen)."""
         g = OverlapGraph(self.keys, self.k)
         ref_ix = self.target.seq_index
         if len(ref_ix) > 1:
             g.set_edges(ref_ix[:-1], ref_ix[1:], 0.01)
         g.set_edge(g.first_node, self.start_ix, 0.01)
         g.set_edge(self.end_ix, g.last_node, 0.01)
-        g.init_paths()
-        # strip cap nodes from the spliced paths
+        return g
+
+    def paths_from_graph(self, g: OverlapGraph) -> None:
+        """Enumerate candidate paths from an initialized graph; strips
+        the cap nodes from the spliced paths."""
         self.alt_paths = [p[1:-1] for p in g.all_shortest()]
+
+    def find_alt_paths(self) -> None:
+        """Build the overlap graph and enumerate candidate paths."""
+        g = self.build_graph()
+        g.init_paths()
+        self.paths_from_graph(g)
 
     # -- helpers -----------------------------------------------------------
 
@@ -90,24 +99,23 @@ class VariantFinder:
 
         for alt_ix in self.alt_paths:
             log.info("Quantifying %s", self.target.name)
-            quant = PathQuant(all_paths=[alt_ix, ref_ix], counts=self.counts)
-            quant.compute_coef()
-            quant.refine_coef()
-            quant.get_ratio()
-            if alt_ix == ref_ix:
-                quant.adjust_for_reference()
+            coef, rvaf = quant.quantify([alt_ix, ref_ix], self.counts)
+            self._emit_vs_ref(alt_ix, coef, rvaf)
 
-            rvaf, ref_rvaf = quant.rVAF
-            coef, ref_coef = quant.coef
-            self.rows.append(PathRow(
-                self.table.name, self.target.name,
-                self.variant_name(ref_ix, alt_ix),
-                rvaf, coef, min(self.path_counts(alt_ix)), 0,
-                self.path_seq(alt_ix, skip_prefix=False),
-                ref_rvaf, ref_coef,
-                self.path_seq(ref_ix, skip_prefix=False),
-                "vs_ref",
-            ))
+    def _emit_vs_ref(self, alt_ix, coef, rvaf) -> None:
+        """Append the ``vs_ref`` row for one quantified alt path."""
+        ref_ix = self.target.seq_index
+        if alt_ix == ref_ix:
+            coef, rvaf = quant.reference_adjust(coef, rvaf, self.counts)
+        self.rows.append(PathRow(
+            self.table.name, self.target.name,
+            self.variant_name(ref_ix, alt_ix),
+            rvaf[0], coef[0], min(self.path_counts(alt_ix)), 0,
+            self.path_seq(alt_ix, skip_prefix=False),
+            rvaf[1], coef[1],
+            self.path_seq(ref_ix, skip_prefix=False),
+            "vs_ref",
+        ))
 
     def _find_clusters(self, alt_paths):
         """Group overlapping variants and clip sequence windows around
@@ -168,31 +176,52 @@ class VariantFinder:
         clusters = list(self._find_clusters(self.alt_paths))
 
         for i, (ref_path, clipped, start_off) in enumerate(clusters):
-            num_cluster = i + 1
             log.info("Quantifying %s in cluster mode", self.target.name)
             if graphical:
                 self._plot_cluster(ref_path, clipped, start_off)
 
-            quant = PathQuant(all_paths=[ref_path] + clipped,
-                              counts=self.counts)
-            quant.compute_coef()
-            quant.refine_coef()
-            quant.get_ratio()
+            coef, rvaf = quant.quantify([ref_path] + clipped, self.counts)
+            self._emit_cluster(i + 1, ref_path, clipped, start_off, coef,
+                               rvaf)
 
-            ref_rvaf, paths_rvaf = quant.rVAF[0], quant.rVAF[1:]
-            ref_coef, paths_coef = quant.coef[0], quant.coef[1:]
+    def _emit_cluster(self, num_cluster, ref_path, clipped, start_off,
+                      coef, rvaf) -> None:
+        """Append the rows for one jointly quantified cluster."""
+        for j, path in enumerate(clipped):
+            assert path != ref_path
+            self.rows.append(PathRow(
+                self.table.name, self.target.name,
+                self.variant_name(ref_path, path, start_off),
+                rvaf[1 + j], coef[1 + j], min(self.path_counts(path)),
+                start_off, self.path_seq(path, skip_prefix=False),
+                rvaf[0], coef[0],
+                self.path_seq(ref_path, skip_prefix=False),
+                "cluster %d n=%d" % (num_cluster, len(clipped)),
+            ))
 
-            for path, rvaf, coef in zip(clipped, paths_rvaf, paths_coef):
-                assert path != ref_path
-                self.rows.append(PathRow(
-                    self.table.name, self.target.name,
-                    self.variant_name(ref_path, path, start_off),
-                    rvaf, coef, min(self.path_counts(path)), start_off,
-                    self.path_seq(path, skip_prefix=False),
-                    ref_rvaf, ref_coef,
-                    self.path_seq(ref_path, skip_prefix=False),
-                    "cluster %d n=%d" % (num_cluster, len(clipped)),
-                ))
+    def quant_jobs(self):
+        """Quantification problems of this target as (paths, emit) pairs:
+        ``paths`` is the path list to fit jointly, ``emit(coef, rvaf)``
+        appends the resulting row(s). Lets a caller solve many targets'
+        problems in one batched device dispatch (km_tpu.ops.nnls) instead
+        of looping quantify_paths/quantify_clusters."""
+        assert self.alt_paths is not None, "call find_alt_paths() first"
+        ref_ix = self.target.seq_index
+        jobs = []
+        for alt_ix in self.alt_paths:
+            jobs.append((
+                [alt_ix, ref_ix],
+                lambda coef, rvaf, a=alt_ix: self._emit_vs_ref(a, coef,
+                                                               rvaf),
+            ))
+        for i, (ref_path, clipped, start_off) in enumerate(
+                self._find_clusters(self.alt_paths)):
+            jobs.append((
+                [ref_path] + list(clipped),
+                lambda coef, rvaf, n=i + 1, r=ref_path, c=clipped, \
+                    s=start_off: self._emit_cluster(n, r, c, s, coef, rvaf),
+            ))
+        return jobs
 
     # -- output ------------------------------------------------------------
 

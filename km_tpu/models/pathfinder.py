@@ -162,10 +162,19 @@ class OverlapGraph:
         candidate set (km/utils/Graph.py:121-198 semantics, including the
         first-edge quirk noted in the module docstring)."""
         self.freeze()
-        self.before = self._sweep(self.first_node, self.succ_ptr,
-                                  self.succ_ids, self.succ_w)
-        self.after = self._sweep(self.last_node, self.pred_ptr,
-                                 self.pred_ids, self.pred_w)
+        self.set_trees(
+            self._sweep(self.first_node, self.succ_ptr, self.succ_ids,
+                        self.succ_w),
+            self._sweep(self.last_node, self.pred_ptr, self.pred_ids,
+                        self.pred_w))
+
+    def set_trees(self, before: np.ndarray, after: np.ndarray) -> None:
+        """Install externally computed predecessor/successor trees (the
+        batched device sweeps, km_tpu.ops.pathgraph) and finish
+        init_paths: ref-edge removal + splice-chain caches. Requires
+        freeze() to have run."""
+        self.before = before
+        self.after = after
         self._before_chain: dict[int, tuple[int, ...]] = {}
         self._after_chain: dict[int, tuple[int, ...]] = {}
 

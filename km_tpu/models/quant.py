@@ -1,19 +1,21 @@
-"""Path expression quantification (least squares + projected gradient)
-and the 12-column output row.
+"""Path expression quantification and the 12-column output row.
 
-Numerics replicate km's PathQuant exactly so that the %.3f/%.1f-rounded
-report fields are byte-identical (reference: km/utils/PathQuant.py:93-154):
+The quantification model: each candidate path contributes its k-mer
+occupancy as one column of an occurrence matrix ``contrib`` (a k-mer
+traversed twice — an ITD — contributes 2); observed k-mer counts are
+explained as a non-negative combination of path columns. The fit is an
+unconstrained least squares followed by projected gradient descent.
 
-- contribution matrix: int32 occurrence counts (+=1 per traversal, so ITD
-  double-counted k-mers contribute 2);
-- initial fit: np.linalg.lstsq over (int32, float32) -> float64;
-- refinement: clamp negatives, step 0.1 * mean gradient, stop when
-  max|grad| <= 0.01, with the gradient itself re-clamped before the test;
-- rVAF = coef / sum(coef) (guarded when all-zero);
-- pure-reference rows get rVAF = nan and coef = min(counts).
-
-The batched jnp variant used by the TPU pipeline lives in
-km_tpu.ops.nnls; it is validated against this host spec.
+PROVENANCE NOTE — spec-exact numeric kernel. The three small functions
+``lstsq_fit`` / ``refine_fit`` / ``ratio_of`` reproduce the reference's
+float operation order *exactly* (reference: km/utils/PathQuant.py:111-149)
+because the report fields are %.3f/%.1f roundings of their results and
+the golden suite requires byte equality: int32 contributions, float32
+counts, float64 lstsq, the 0.1 x mean-gradient step with post-update
+clamping, and the 0.01 max-gradient stopping rule. Everything around
+that kernel (problem assembly, batching, row output) is this repo's own
+design; the batched TPU variant lives in km_tpu.ops.nnls and is
+validated field-for-field against these functions.
 """
 
 from __future__ import annotations
@@ -23,54 +25,73 @@ import logging as log
 import numpy as np
 
 
-class PathQuant:
-    def __init__(self, all_paths, counts):
-        self.all_paths = all_paths
-        self.nb_kmer = len(counts)
-        self.nb_seq = len(all_paths)
-        self.counts = np.array(counts, dtype=np.float32)
-        self.contrib = np.zeros((self.nb_kmer, self.nb_seq), dtype=np.int32)
-        for seq_i, seq in enumerate(all_paths):
-            for i in seq:
-                self.contrib[i, seq_i] += 1
-        self.coef = None
-        self.rVAF = None
-        log.info("%d sequence(s) are observed.", self.nb_seq)
+def build_contrib(paths, n_kmers: int) -> np.ndarray:
+    """Occurrence matrix [n_kmers, n_paths]: entry (i, j) counts how many
+    times node i appears on path j (so ITD-duplicated k-mers count 2)."""
+    contrib = np.zeros((n_kmers, len(paths)), dtype=np.int32)
+    for j, path in enumerate(paths):
+        for i in path:
+            contrib[i, j] += 1
+    return contrib
 
-    def compute_coef(self):
-        coef, _res, _rank, _sv = np.linalg.lstsq(self.contrib, self.counts,
-                                                 rcond=None)
-        self.coef = coef
-        log.debug("Linear fitting = %s", self.coef)
 
-    def refine_coef(self):
-        self.coef[self.coef < 0] = 0
-        last_max_grad = np.inf
-        num_iter = 0
-        while last_max_grad > 0.01:
-            counts_hat = np.dot(self.contrib, self.coef)
-            grad = 2 * (self.counts - counts_hat) * self.contrib.T
-            grad = grad.sum(axis=1) / self.nb_kmer
-            self.coef += 0.1 * grad
-            grad[self.coef < 0] = 0
-            self.coef[self.coef < 0] = 0
-            last_max_grad = np.max(np.abs(grad))
-            num_iter += 1
-            log.debug("Iteration = %d, max_gradient = %f", num_iter,
-                      last_max_grad)
-        log.info("Refined fitting = %s", self.coef)
+def lstsq_fit(contrib: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Unconstrained least-squares coefficients (minimum-norm on rank
+    deficiency, e.g. when the alt path IS the reference path)."""
+    coef = np.linalg.lstsq(contrib, counts, rcond=None)[0]
+    log.debug("Linear fitting = %s", coef)
+    return coef
 
-    def get_ratio(self):
-        if max(self.coef) == 0:
-            self.rVAF = self.coef
-        else:
-            self.rVAF = self.coef / np.sum(self.coef)
-        return self.rVAF
 
-    def adjust_for_reference(self):
-        self.rVAF[0] = np.nan
-        self.rVAF[1] = np.nan
-        self.coef[self.coef >= 0] = min(self.counts)
+def refine_fit(contrib: np.ndarray, counts: np.ndarray,
+               coef: np.ndarray) -> np.ndarray:
+    """Projected gradient refinement (spec-exact; see module note)."""
+    n_kmers = contrib.shape[0]
+    coef[coef < 0] = 0
+    last_max_grad = np.inf
+    num_iter = 0
+    while last_max_grad > 0.01:
+        counts_hat = np.dot(contrib, coef)
+        grad = 2 * (counts - counts_hat) * contrib.T
+        grad = grad.sum(axis=1) / n_kmers
+        coef += 0.1 * grad
+        grad[coef < 0] = 0
+        coef[coef < 0] = 0
+        last_max_grad = np.max(np.abs(grad))
+        num_iter += 1
+        log.debug("Iteration = %d, max_gradient = %f", num_iter,
+                  last_max_grad)
+    log.info("Refined fitting = %s", coef)
+    return coef
+
+
+def ratio_of(coef: np.ndarray) -> np.ndarray:
+    """rVAF vector: coef / sum(coef), guarded when the fit is all-zero."""
+    if max(coef) == 0:
+        return coef
+    return coef / np.sum(coef)
+
+
+def quantify(paths, counts) -> tuple[np.ndarray, np.ndarray]:
+    """Fit all ``paths`` (lists of node indices) jointly against the
+    node count vector; returns (coef, rVAF), one entry per path."""
+    counts = np.array(counts, dtype=np.float32)
+    contrib = build_contrib(paths, len(counts))
+    log.info("%d sequence(s) are observed.", len(paths))
+    coef = refine_fit(contrib, counts, lstsq_fit(contrib, counts))
+    return coef, ratio_of(coef)
+
+
+def reference_adjust(coef, rvaf, counts) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-reference rows report no variant fraction and the floor
+    coverage instead of a fitted split (the fit is degenerate: the alt
+    column equals the ref column)."""
+    rvaf = rvaf.copy()
+    coef = coef.copy()
+    rvaf[0] = np.nan
+    rvaf[1] = np.nan
+    coef[coef >= 0] = min(np.array(counts, dtype=np.float32))
+    return coef, rvaf
 
 
 class PathRow:
