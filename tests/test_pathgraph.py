@@ -15,7 +15,7 @@ from km_tpu.models.sequence import TargetSeq
 from km_tpu.models.table import CountTable
 from km_tpu.ops.pathgraph import batched_alt_paths, batched_sweeps
 
-from .helpers import REFDATA
+from helpers import REFDATA
 
 FIXTURES = [
     ("02H025_NPM1.jf", "NPM1_4ins_exons_10-11utr.fa"),
