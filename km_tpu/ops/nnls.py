@@ -3,25 +3,39 @@
 One catalog run produces hundreds of small quantification problems (a
 few paths x a few hundred k-mers each — reference hot loop:
 km/utils/PathQuant.py:111-149). The host spec (km_tpu.models.quant)
-solves them one at a time; here ALL problems across ALL targets pad into
-one [B, N, P] batch and solve in a single jitted dispatch:
+solves them one at a time; here the iterative refinement — thousands of
+tiny matvec iterations, the expensive part — runs for ALL problems
+across ALL targets as one jitted while_loop dispatch.
 
-- initial fit: minimum-norm least squares via batched SVD (the batched
-  equivalent of np.linalg.lstsq, including rank-deficient problems —
-  an alt path identical to the reference path gives a duplicate column);
-- refinement: the spec's projected gradient iteration (step 0.1 x mean
-  gradient, post-update clamp, stop at max|grad| <= 0.01), run under a
-  while_loop with per-problem freezing — each problem stops updating the
-  iteration its own gradient test passes, exactly like the sequential
-  loop, while the batch keeps stepping until the last problem converges.
+Why the split below: the projected-gradient iteration stops the first
+time max|grad| <= 0.01, so the reported coefficients depend on the
+whole TRAJECTORY, not just the minimizer — two arithmetically close
+starts can stop at answers that differ at the %.1f rounding contract.
+Float32 batch math provably cannot guarantee the byte contract on
+general problems (it failed on random inputs in round 2). Therefore:
+
+- initial fit: per-problem ``np.linalg.lstsq`` on host — the literal
+  spec operation, so every trajectory STARTS bit-identically (this also
+  covers rank-deficient problems, e.g. an alt path equal to the
+  reference path, exactly like the spec);
+- refinement: the spec's iteration (step 0.1 x mean gradient,
+  post-update clamp, stop at max|grad| <= 0.01) batched on device in
+  FLOAT64 (``jax.enable_x64``; TPUs emulate f64 — these problems are
+  tiny, so the cost is nil), with per-problem freezing: each problem
+  stops updating the iteration its own gradient test passes, exactly
+  like the sequential loop, while the batch keeps stepping until the
+  last problem converges.
+
+The only remaining divergence from the host spec is float64 reduction
+order inside the matvecs (~1e-15 relative per iteration), far below the
+%.3f/%.1f rounding contract; equality of the rounded report fields is
+asserted on the bundled fixtures AND on random adversarial problems
+(tests/test_nnls.py) and at the pipeline level
+(tests/test_batch_pipeline.py).
 
 Padding is inert by construction: zero k-mer rows add zero residual and
-zero gradient, zero path columns get zero singular values (coef 0) and
-zero gradient; the mean-gradient divisor uses each problem's REAL k-mer
-count. Math is float32 (TPU-native); equality of the %.3f/%.1f-rounded
-report fields against the float64 host spec is asserted across the
-bundled fixtures (tests/test_nnls.py) and at the pipeline level
-(tests/test_batch_pipeline.py).
+zero gradient, zero path columns get zero gradient; the mean-gradient
+divisor uses each problem's REAL k-mer count.
 """
 
 from __future__ import annotations
@@ -35,19 +49,10 @@ MAX_ITERS = 200_000  # safety bound; fixtures converge in < 2k iterations
 
 
 @jax.jit
-def _nnls_kernel(contrib, counts, n_kmers):
-    """contrib [B,N,P] f32, counts [B,N] f32, n_kmers [B] f32 (real row
-    counts). Returns (coef [B,P], rvaf [B,P], iters)."""
-    # --- minimum-norm least squares via SVD ---
-    u, s, vt = jnp.linalg.svd(contrib, full_matrices=False)
-    eps = jnp.finfo(contrib.dtype).eps
-    big = jnp.maximum(n_kmers, jnp.float32(contrib.shape[2]))
-    cutoff = (eps * big)[:, None] * s[:, :1]  # rcond * largest sv
-    sinv = jnp.where(s > cutoff, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
-    utb = jnp.einsum("bnq,bn->bq", u, counts)
-    coef = jnp.einsum("bqp,bq->bp", vt, sinv * utb)
-
-    coef = jnp.maximum(coef, 0.0)
+def _refine_kernel(contrib, counts, coef0, n_kmers):
+    """contrib [B,N,P] f64, counts [B,N] f64, coef0 [B,P] f64 (already
+    clamped >= 0), n_kmers [B] f64 (real row counts). Returns
+    (coef [B,P], rvaf [B,P], iters)."""
 
     def cond(state):
         _, done, it = state
@@ -68,7 +73,7 @@ def _nnls_kernel(contrib, counts, n_kmers):
 
     done0 = jnp.zeros(contrib.shape[0], dtype=bool)
     coef, _done, iters = jax.lax.while_loop(
-        cond, body, (coef, done0, jnp.int32(0)))
+        cond, body, (coef0, done0, jnp.int32(0)))
 
     total = coef.sum(axis=-1, keepdims=True)
     all_zero = coef.max(axis=-1, keepdims=True) == 0
@@ -96,15 +101,23 @@ def solve_batch(problems, pad_paths: int | None = None,
     N = pad_kmers or int(2 ** np.ceil(np.log2(max(max(n_n), 2))))
     B = len(problems)
 
-    contrib = np.zeros((B, N, P), dtype=np.float32)
-    counts = np.zeros((B, N), dtype=np.float32)
+    contrib = np.zeros((B, N, P), dtype=np.float64)
+    counts = np.zeros((B, N), dtype=np.float64)
+    coef0 = np.zeros((B, P), dtype=np.float64)
     for b, (paths, cnt) in enumerate(problems):
-        contrib[b, :n_n[b], :n_p[b]] = build_contrib(paths, n_n[b])
-        counts[b, :n_n[b]] = np.asarray(cnt, dtype=np.float32)
+        cb = build_contrib(paths, n_n[b])
+        cf32 = np.asarray(cnt, dtype=np.float32)
+        contrib[b, :n_n[b], :n_p[b]] = cb
+        counts[b, :n_n[b]] = cf32  # spec quantifies float32 counts
+        # the spec's trajectory start: unconstrained lstsq, then clamp
+        start = np.linalg.lstsq(cb, cf32, rcond=None)[0]
+        start[start < 0] = 0
+        coef0[b, :n_p[b]] = start
 
-    coef, rvaf, _iters = _nnls_kernel(
-        jnp.asarray(contrib), jnp.asarray(counts),
-        jnp.asarray(np.array(n_n, dtype=np.float32)))
-    coef = np.asarray(coef, dtype=np.float64)
-    rvaf = np.asarray(rvaf, dtype=np.float64)
+    with jax.enable_x64():
+        coef, rvaf, _iters = _refine_kernel(
+            jnp.asarray(contrib), jnp.asarray(counts), jnp.asarray(coef0),
+            jnp.asarray(np.array(n_n, dtype=np.float64)))
+        coef = np.asarray(coef, dtype=np.float64)
+        rvaf = np.asarray(rvaf, dtype=np.float64)
     return [(coef[b, :n_p[b]], rvaf[b, :n_p[b]]) for b in range(B)]
