@@ -51,6 +51,53 @@ from .device_table import children_kernel
 TGT_SENTINEL = np.int32(0x7FFFFFF)
 
 
+def _member_lookup(member_tgt, member_hi, member_lo, member_rounds,
+                   tgt, chi, clo):
+    """Binary search of (tgt, hi, lo) in the sorted member arrays
+    (traced helper shared by the walk and seed-filter kernels)."""
+    M = member_hi.shape[0]
+    low = (chi & jnp.uint32(0)).astype(jnp.int32)
+    high = low + jnp.int32(M)
+
+    def body(_, lh):
+        lo_, hi_ = lh
+        mid = (lo_ + hi_) >> 1
+        pos = jnp.minimum(mid, M - 1)
+        mt, mh, ml = member_tgt[pos], member_hi[pos], member_lo[pos]
+        less = (mt < tgt) | ((mt == tgt) & (
+            (mh < chi) | ((mh == chi) & (ml < clo))))
+        return (jnp.where(less, mid + 1, lo_),
+                jnp.where(less, hi_, mid))
+
+    low, _ = jax.lax.fori_loop(0, member_rounds, body, (low, high))
+    pos = jnp.minimum(low, M - 1)
+    return ((member_tgt[pos] == tgt) & (member_hi[pos] == chi)
+            & (member_lo[pos] == clo))
+
+
+@partial(jax.jit, static_argnames=(
+    "prefix_bits", "rounds", "k", "canonical", "member_rounds"))
+def seed_filter_kernel(keys_hi, keys_lo, counts, bucket_starts,
+                       member_tgt, member_hi, member_lo,
+                       seed_tgt, seed_hi, seed_lo, ratio, n_cutoff,
+                       *, prefix_bits, rounds, k, canonical,
+                       member_rounds):
+    """One batched pass over ALL seeds: a seed whose children are all
+    known (member set or the seed itself) dies in its first walk round
+    with no side effects — depth-1 walklets can neither commit (commits
+    need depth >= 2) nor exhaust the branch budget (one event <= 10) —
+    so only seeds with at least one unknown child need walklet slots.
+    Returns that keep mask."""
+    chi, clo, _cnt, kid_mask = children_kernel(
+        keys_hi, keys_lo, counts, bucket_starts, seed_hi, seed_lo,
+        ratio, n_cutoff, prefix_bits=prefix_bits, rounds=rounds,
+        k=k, canonical=canonical, forward=True)
+    known = _member_lookup(member_tgt, member_hi, member_lo,
+                           member_rounds, seed_tgt[:, None], chi, clo)
+    self_loop = (chi == seed_hi[:, None]) & (clo == seed_lo[:, None])
+    return (kid_mask & ~known & ~self_loop).any(axis=1)
+
+
 @partial(jax.jit, static_argnames=(
     "prefix_bits", "rounds", "k", "canonical", "max_stack", "max_break",
     "member_rounds", "hard_rounds", "copy_cap", "commit_cap", "log_cap",
@@ -62,38 +109,24 @@ def walk_kernel(keys_hi, keys_lo, counts, bucket_starts,
                 *, WC, S, prefix_bits, rounds, k, canonical, max_stack,
                 max_break, member_rounds, hard_rounds, copy_cap,
                 commit_cap, log_cap):
-    """One fixpoint iteration of the device walk. Returns the commit log
-    (log_hi, log_lo, log_tgt, log_depth, log_count), overflow flag, and
-    round count."""
-    M = member_hi.shape[0]
+    """One fixpoint iteration of the device walk. Returns one packed
+    uint32 vector: [log_count, buffer_overflow, depth_overflow (a
+    walklet needed more than S stack rows while max_stack allowed
+    deeper — host retries with S doubled), round_count] followed by
+    log_tgt[log_cap], log_depth[log_cap], log_hi[log_cap*S],
+    log_lo[log_cap*S]."""
     lanes = jnp.arange(4, dtype=jnp.int32)
     rows = jnp.arange(WC, dtype=jnp.int32)
     cols = jnp.arange(S, dtype=jnp.int32)
 
     def member_lookup(tgt, chi, clo):
-        """Binary search of (tgt, hi, lo) in the sorted member arrays."""
-        low = (chi & jnp.uint32(0)).astype(jnp.int32)
-        high = low + jnp.int32(M)
-
-        def body(_, lh):
-            lo_, hi_ = lh
-            mid = (lo_ + hi_) >> 1
-            pos = jnp.minimum(mid, M - 1)
-            mt, mh, ml = member_tgt[pos], member_hi[pos], member_lo[pos]
-            less = (mt < tgt) | ((mt == tgt) & (
-                (mh < chi) | ((mh == chi) & (ml < clo))))
-            return (jnp.where(less, mid + 1, lo_),
-                    jnp.where(less, hi_, mid))
-
-        low, _ = jax.lax.fori_loop(0, member_rounds, body, (low, high))
-        pos = jnp.minimum(low, M - 1)
-        return ((member_tgt[pos] == tgt) & (member_hi[pos] == chi)
-                & (member_lo[pos] == clo))
+        return _member_lookup(member_tgt, member_hi, member_lo,
+                              member_rounds, tgt, chi, clo)
 
     def round_body(state):
         (stack_hi, stack_lo, w_tgt, w_breaks, w_depth, w_alive, cursor,
          log_hi, log_lo, log_tgt, log_depth, log_count, overflow,
-         rnd) = state
+         depth_ovf, rnd) = state
 
         # --- tips and children ---
         tip_pos = jnp.maximum(w_depth - 1, 0)
@@ -148,8 +181,14 @@ def walk_kernel(keys_hi, keys_lo, counts, bucket_starts,
         log_count = log_count + jnp.minimum(n_commit, commit_cap)
 
         # --- in-place extension through the first unknown child ---
-        unknown = (act[:, None] & kid_mask & ~known
-                   & (w_depth[:, None] + 1 <= max_stack))
+        # S may be smaller than max_stack (stacks start shallow for
+        # speed); a walklet that could legally go deeper than its S rows
+        # flags a depth overflow and the host retries with S doubled
+        unknown_sem = (act[:, None] & kid_mask & ~known
+                       & (w_depth[:, None] + 1 <= max_stack))
+        depth_ovf = depth_ovf | (
+            unknown_sem & (w_depth[:, None] + 1 > S)).any()
+        unknown = unknown_sem & (w_depth[:, None] + 1 <= S)
         n_unknown = unknown.sum(axis=1)
         first_lane = jnp.argmax(unknown, axis=1)
         ext = n_unknown >= 1
@@ -222,15 +261,16 @@ def walk_kernel(keys_hi, keys_lo, counts, bucket_starts,
 
         return (stack_hi, stack_lo, w_tgt, w_breaks, w_depth, alive2,
                 cursor, log_hi, log_lo, log_tgt, log_depth, log_count,
-                overflow, rnd + 1)
+                overflow, depth_ovf, rnd + 1)
 
     def cond(state):
         alive = state[5]
         cursor = state[6]
         overflow = state[12]
-        rnd = state[13]
+        depth_ovf = state[13]
+        rnd = state[14]
         return ((alive.any() | (cursor < n_seeds))
-                & (rnd < hard_rounds) & ~overflow)
+                & (rnd < hard_rounds) & ~overflow & ~depth_ovf)
 
     state = (
         jnp.zeros((WC, S), jnp.uint32), jnp.zeros((WC, S), jnp.uint32),
@@ -240,17 +280,30 @@ def walk_kernel(keys_hi, keys_lo, counts, bucket_starts,
         jnp.zeros((log_cap, S), jnp.uint32),
         jnp.full(log_cap, TGT_SENTINEL, jnp.int32),
         jnp.zeros(log_cap, jnp.int32), jnp.int32(0), jnp.bool_(False),
-        jnp.int32(0))
+        jnp.bool_(False), jnp.int32(0))
     state = jax.lax.while_loop(cond, round_body, state)
     (_, _, _, _, _, _, _, log_hi, log_lo, log_tgt, log_depth, log_count,
-     overflow, rnd) = state
-    return log_hi, log_lo, log_tgt, log_depth, log_count, overflow, rnd
+     overflow, depth_ovf, rnd) = state
+    # single packed buffer: the host tunnel pays a fixed latency per
+    # device->host transfer, so everything rides one uint32 vector
+    return jnp.concatenate([
+        jnp.stack([log_count.astype(jnp.uint32),
+                   overflow.astype(jnp.uint32),
+                   depth_ovf.astype(jnp.uint32),
+                   rnd.astype(jnp.uint32)]),
+        log_tgt.astype(jnp.uint32), log_depth.astype(jnp.uint32),
+        log_hi.reshape(-1), log_lo.reshape(-1)])
+
+
+# stack depth that sufficed last time (per process): starting at the
+# learned value avoids a wasted abort-and-retry dispatch per call
+_learned_stack_cap = 64
 
 
 def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
                     count=5, max_stack=500, max_break=10, max_node=10000,
                     walklet_cap=2048, copy_cap=128, commit_cap=128,
-                    log_cap=4096):
+                    log_cap=512, stack_cap=None):
     """Fixpoint driver for the device walk.
 
     targets_mers: per-target ordered unique packed ref k-mers (uint64).
@@ -269,21 +322,22 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
     node_sets = [set(int(x) for x in m) for m in targets_mers]
     node_order = [[int(x) for x in m] for m in targets_mers]
 
-    S = max(8, max_stack)
-    WC = walklet_cap
-    # constant loop/search bounds: the while_loop exits via its dynamic
-    # condition, and extra binary-search rounds converge harmlessly —
-    # keeping these static args constant lets every catalog size share
-    # one compiled program
-    hard_rounds = 1 << 22
-    member_rounds = 27
+    global _learned_stack_cap
+    # every per-round op touches the whole [WC, S] stack matrix, so S is
+    # the per-round cost knob: start shallow (catalog walks commit at
+    # depth ~32) and let the depth-overflow flag retry deeper walks
+    if stack_cap is None:
+        stack_cap = _learned_stack_cap
+    S = min(max(8, stack_cap), max(8, max_stack))
+    hard_rounds = 1 << 22  # while_loop exits via its dynamic condition
 
-    # seed arrays padded to a power of two (compile-cache reuse)
-    NS = max(1 << 14, 1 << (n_seeds - 1).bit_length())
-    sp = NS - n_seeds
-    s_tgt = np.concatenate([seed_tgt, np.zeros(sp, np.int32)])
-    s_hi = np.concatenate([shi, np.zeros(sp, np.uint32)])
-    s_lo = np.concatenate([slo, np.zeros(sp, np.uint32)])
+    # all-seed arrays padded to a power of two (compile-cache reuse),
+    # staged once for the per-iteration seed filter
+    NS0 = max(1 << 14, 1 << (n_seeds - 1).bit_length())
+    sp = NS0 - n_seeds
+    a_tgt = jnp.asarray(np.concatenate([seed_tgt, np.zeros(sp, np.int32)]))
+    a_hi = jnp.asarray(np.concatenate([shi, np.zeros(sp, np.uint32)]))
+    a_lo = jnp.asarray(np.concatenate([slo, np.zeros(sp, np.uint32)]))
 
     for _iteration in range(64):  # fixpoint iterations (typically 2)
         m_tgt = np.concatenate([
@@ -296,32 +350,74 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
         m_tgt, m_keys = m_tgt[sort_ix], m_keys[sort_ix]
         mhi, mlo = split_keys(m_keys)
         M = max(1 << 14, 1 << (len(m_keys) - 1).bit_length())
+        # binary search over a 2^m member array converges in m rounds
+        member_rounds = M.bit_length()
         pad = M - len(m_keys)
         m_tgt = np.concatenate([m_tgt, np.full(pad, TGT_SENTINEL, np.int32)])
         mhi = np.concatenate([mhi, np.full(pad, 0xFFFFFFFF, np.uint32)])
         mlo = np.concatenate([mlo, np.full(pad, 0xFFFFFFFF, np.uint32)])
 
+        jm_tgt = jnp.asarray(m_tgt)
+        jm_hi = jnp.asarray(mhi)
+        jm_lo = jnp.asarray(mlo)
+
+        # one batched filter pass kills the seeds that would die in
+        # their first walk round (the vast majority: every interior
+        # reference k-mer whose children are all on the reference path),
+        # so the walk itself only carries the interesting walklets
+        keep = np.asarray(seed_filter_kernel(
+            table.keys_hi, table.keys_lo, table.counts,
+            table.bucket_starts, jm_tgt, jm_hi, jm_lo,
+            a_tgt, a_hi, a_lo, jnp.float32(ratio), jnp.int32(count),
+            prefix_bits=table.prefix_bits, rounds=table.rounds,
+            k=table.k, canonical=table.canonical,
+            member_rounds=member_rounds))[:n_seeds]
+        surv = np.flatnonzero(keep)
+        if len(surv) == 0:
+            break  # no seed can extend: a walk would commit nothing
+        ns2 = len(surv)
+        NS = max(1 << 10, 1 << (ns2 - 1).bit_length())
+        pad2 = NS - ns2
+        s_tgt = np.concatenate([seed_tgt[surv], np.zeros(pad2, np.int32)])
+        s_hi = np.concatenate([shi[surv], np.zeros(pad2, np.uint32)])
+        s_lo = np.concatenate([slo[surv], np.zeros(pad2, np.uint32)])
+        # walklet matrix sized to the survivors (every per-round op
+        # scans all WC rows, so spare slots are pure cost)
+        WC = min(walklet_cap, max(256, 1 << (ns2 - 1).bit_length()))
+
         while True:
             out = walk_kernel(
                 table.keys_hi, table.keys_lo, table.counts,
                 table.bucket_starts,
-                jnp.asarray(m_tgt), jnp.asarray(mhi), jnp.asarray(mlo),
+                jm_tgt, jm_hi, jm_lo,
                 jnp.asarray(s_tgt), jnp.asarray(s_hi), jnp.asarray(s_lo),
-                jnp.int32(n_seeds), jnp.float32(ratio), jnp.int32(count),
+                jnp.int32(ns2), jnp.float32(ratio), jnp.int32(count),
                 WC=WC, S=S,
                 prefix_bits=table.prefix_bits, rounds=table.rounds,
                 k=table.k, canonical=table.canonical, max_stack=max_stack,
                 max_break=max_break, member_rounds=member_rounds,
                 hard_rounds=hard_rounds, copy_cap=copy_cap,
                 commit_cap=commit_cap, log_cap=log_cap)
-            c_hi, c_lo, c_tgt, c_depth, c_count, overflow, rnd = \
-                [np.asarray(x) for x in out]
-            if not overflow:
+            buf = np.asarray(out)
+            c_count, overflow, depth_ovf, _rnd = (int(x)
+                                                  for x in buf[:4])
+            off = 4
+            c_tgt = buf[off:off + log_cap].astype(np.int32)
+            off += log_cap
+            c_depth = buf[off:off + log_cap].astype(np.int32)
+            off += log_cap
+            c_hi = buf[off:off + log_cap * S].reshape(log_cap, S)
+            off += log_cap * S
+            c_lo = buf[off:off + log_cap * S].reshape(log_cap, S)
+            if not overflow and not depth_ovf:
                 break
-            WC *= 2
-            copy_cap *= 2
-            commit_cap *= 2
-            log_cap *= 2
+            if depth_ovf:
+                S = min(S * 2, max(8, max_stack))
+            if overflow:
+                WC *= 2
+                copy_cap *= 2
+                commit_cap *= 2
+                log_cap *= 2
 
         # apply commits in log order
         changed = False
@@ -343,6 +439,8 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
                 raise NodeBudgetExceeded(max_node)
         if not changed:
             break
+
+    _learned_stack_cap = S  # next call starts at the depth that sufficed
 
     # count resolution: one batched query across every target
     all_keys = np.concatenate([

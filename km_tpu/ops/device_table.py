@@ -143,9 +143,10 @@ class DeviceCountTable:
         real_starts = np.searchsorted(real, np.arange((1 << prefix_bits) + 1))
         max_bucket = int((real_starts[1:] - real_starts[:-1]).max()) \
             if self.n else 1
-        # floor of 16 rounds: stabilizes the static round count across
-        # small/medium tables so compilations are shared
-        self.rounds = max(16, int(np.ceil(np.log2(max(max_bucket, 2)))) + 1)
+        # small floor only: every extra lockstep round costs a full set
+        # of gathers in the walk's hot loop, so the round count tracks
+        # the actual largest bucket instead of a one-size-fits-all floor
+        self.rounds = max(4, int(np.ceil(np.log2(max(max_bucket, 2)))) + 1)
 
     @classmethod
     def from_host(cls, table, **kw) -> "DeviceCountTable":
