@@ -117,57 +117,66 @@ class VariantFinder:
             "vs_ref",
         ))
 
+    @staticmethod
+    def _joins_cluster(window, d) -> bool:
+        """Does a variant spanning [d.start, d.end_ref] belong in the
+        cluster window? Interval overlap, except degenerate ITD
+        placements at the window's right edge, which km excludes from
+        clustering (spec: km/utils/MutationFinder.py:666-679)."""
+        lo, hi = window
+        if d.end_ref < lo or d.start > hi:
+            return False
+        zero_span = d.start == d.end_ref
+        if lo == hi and zero_span and lo == d.start:
+            log.info("Terminal ITD ignored in cluster mode.")
+        elif hi == d.end_ref and (lo == hi or zero_span):
+            log.info("Quasi-terminal ITD ignored in cluster mode.")
+        else:
+            return True
+        return False
+
     def _find_clusters(self, alt_paths):
-        """Group overlapping variants and clip sequence windows around
-        them (semantics of km/utils/MutationFinder.py:651-723; terminal
-        and quasi-terminal ITDs are excluded from clustering)."""
+        """Group overlapping variants, then clip each group's reference
+        and alt paths to a shared window around the affected region.
+
+        PROVENANCE NOTE — spec behavior: the grouping rule (grow a
+        window from the lowest unassigned variant, absorbing the lowest
+        overlapper each step), the ITD exclusions, and the window
+        arithmetic below must match km/utils/MutationFinder.py:651-723
+        because cluster numbering and the clipped quantification
+        windows feed the byte-exact report contract.
+        """
         ref_ix = self.target.seq_index
         diffs = [classify.diff_paths(ref_ix, p, self.k) for p in alt_paths]
-        variant_set = set(range(len(alt_paths)))
+        pool = set(range(len(alt_paths)))
 
-        def get_intersect(start, stop):
-            for var in sorted(variant_set):
-                cur_start = diffs[var].start
-                cur_end = diffs[var].end_ref
-                if cur_end >= start and cur_start <= stop:
-                    if start == stop == cur_start == cur_end:
-                        log.info("Terminal ITD ignored in cluster mode.")
-                    elif stop == cur_end and (start == stop
-                                              or cur_start == cur_end):
-                        log.info("Quasi-terminal ITD ignored in cluster mode.")
-                    else:
-                        return var
-            return -1
+        while pool:
+            seed = min(pool)
+            pool.discard(seed)
+            members = [seed]
+            window = (diffs[seed].start, diffs[seed].end_ref)
+            while True:
+                nxt = next((v for v in sorted(pool)
+                            if self._joins_cluster(window, diffs[v])),
+                           None)
+                if nxt is None:
+                    break
+                pool.remove(nxt)
+                members.append(nxt)
+                window = (min(window[0], diffs[nxt].start),
+                          max(window[1], diffs[nxt].end_ref))
 
-        groups = []
-        while variant_set:
-            seed = min(variant_set)
-            variant_set.discard(seed)
-            grp = [seed]
-            start = diffs[seed].start
-            stop = diffs[seed].end_ref
-            var = get_intersect(start, stop)
-            while var != -1:
-                variant_set.remove(var)
-                grp.append(var)
-                start = min(start, diffs[var].start)
-                stop = max(stop, diffs[var].end_ref)
-                var = get_intersect(start, stop)
-            groups.append((start, stop, grp))
-
-        for start, stop, grp in groups:
-            if len(grp) == 1 and alt_paths[grp[0]] == ref_ix:
-                continue
-            var_diffs = [diffs[v] for v in grp]
-            var_size = max(abs(d.end_var - d.end_ref + 1) for d in var_diffs)
-            offset = max(0, start - var_size)
-            ref_path = tuple(ref_ix[offset:stop])
-            clipped = []
-            for v in grp:
-                d = diffs[v]
-                stop_off = d.end_var + stop - d.end_ref
-                clipped.append(tuple(alt_paths[v][offset:stop_off]))
-            yield (ref_path, clipped, offset)
+            if len(members) == 1 and alt_paths[seed] == ref_ix:
+                continue  # a lone pure-reference path is not a cluster
+            lo, hi = window
+            # left margin: the largest length change in the group
+            margin = max(abs(diffs[v].end_var - diffs[v].end_ref + 1)
+                         for v in members)
+            offset = max(0, lo - margin)
+            clipped = [tuple(alt_paths[v][offset:
+                             diffs[v].end_var + hi - diffs[v].end_ref])
+                       for v in members]
+            yield (tuple(ref_ix[offset:hi]), clipped, offset)
 
     def quantify_clusters(self, graphical: bool = False) -> None:
         """Joint quantification of overlapping variants on clipped

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 MAX_DENSE_NODES = 2048  # graphs past this fall back to the host sweep
-BATCH_CHUNK = 64  # dispatch at most this many graphs at once
+CHUNK_BYTES = 256 << 20  # dense [B, n, n] adjacency budget per dispatch
+MAX_CHUNK = 512
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -68,30 +69,43 @@ def sweep_kernel(esrc, edst, ew, starts, rstarts, *, n):
         _, _, prev = jax.lax.fori_loop(0, n, body, (dist0, dist0, prev0))
         return prev
 
-    return sweep(w, starts), sweep(jnp.swapaxes(w, 1, 2), rstarts)
+    # one output array -> one device-to-host transfer per dispatch
+    return jnp.stack([sweep(w, starts),
+                      sweep(jnp.swapaxes(w, 1, 2), rstarts)], axis=1)
 
 
 def batched_sweeps(graphs):
     """Run before/after sweeps for a list of frozen OverlapGraphs in
     size-bucketed device dispatches; returns [(before, after)] numpy
     pairs aligned with the input."""
+    import logging as log
+
     out = [None] * len(graphs)
     buckets: dict[int, list[int]] = {}
     for gi, g in enumerate(graphs):
         n_pad = max(128, 1 << int(np.ceil(np.log2(max(g.n, 2)))))
         if g.n > MAX_DENSE_NODES:
+            log.info("pathgraph: %d-node graph exceeds the %d-node dense "
+                     "bound, host sweep", g.n, MAX_DENSE_NODES)
             out[gi] = (
                 g._sweep(g.first_node, g.succ_ptr, g.succ_ids, g.succ_w),
                 g._sweep(g.last_node, g.pred_ptr, g.pred_ids, g.pred_w))
         else:
             buckets.setdefault(n_pad, []).append(gi)
 
+    # queue every dispatch before the first readback: JAX dispatch is
+    # async, so device compute and host->device staging pipeline, and
+    # each result then costs one device-to-host transfer
+    pending = []
     for n_pad, idxs in buckets.items():
-        for lo in range(0, len(idxs), BATCH_CHUNK):
-            part = idxs[lo:lo + BATCH_CHUNK]
+        chunk = max(1, min(MAX_CHUNK, CHUNK_BYTES // (n_pad * n_pad * 4)))
+        for lo in range(0, len(idxs), chunk):
+            part = idxs[lo:lo + chunk]
             e_max = max(max(len(graphs[gi].esrc) for gi in part), 1)
             e_pad = 1 << int(np.ceil(np.log2(max(e_max, 2))))
-            B = len(part)
+            # batch padded to a power of two: stable compile shapes
+            # (padding rows are empty graphs, swept as no-ops)
+            B = max(8, 1 << int(np.ceil(np.log2(max(len(part), 2)))))
             esrc = np.full((B, e_pad), n_pad, np.int32)  # pad -> oob, drop
             edst = np.zeros((B, e_pad), np.int32)
             ew = np.zeros((B, e_pad), np.float32)
@@ -105,14 +119,15 @@ def batched_sweeps(graphs):
                 ew[b, :ne] = _edge_weights(g)
                 starts[b] = g.first_node
                 rstarts[b] = g.last_node
-            before, after = sweep_kernel(
+            pending.append((part, sweep_kernel(
                 jnp.asarray(esrc), jnp.asarray(edst), jnp.asarray(ew),
-                jnp.asarray(starts), jnp.asarray(rstarts), n=n_pad)
-            before = np.asarray(before)
-            after = np.asarray(after)
-            for b, gi in enumerate(part):
-                g = graphs[gi]
-                out[gi] = (before[b, :g.n].copy(), after[b, :g.n].copy())
+                jnp.asarray(starts), jnp.asarray(rstarts), n=n_pad)))
+
+    for part, trees_dev in pending:
+        trees = np.asarray(trees_dev)
+        for b, gi in enumerate(part):
+            g = graphs[gi]
+            out[gi] = (trees[b, 0, :g.n].copy(), trees[b, 1, :g.n].copy())
     return out
 
 

@@ -1,12 +1,13 @@
 """find_report: reshape find_mutation rows into genome-coordinate
 reports (16-column TSV, VCF 4.1, or per-sample pivot table).
 
-Byte-compatible with km (reference: km/tools/find_report.py:7-336):
+Behavior contract (byte-compatible with km; reference:
+km/tools/find_report.py:7-336, checked by tests/test_golden_files.py):
 coordinates map through the per-base genomic position list derived from
 the target FASTA exon headers (strand-aware); insertions/deletions are
-canonicalized by recursive extremity extension over repeats; small
-insertions re-classify as ITD (exact upstream match >= 3 bp) or I&I
-(> 50% upstream match).
+canonicalized by sliding through repeated context to their outermost
+placement; small insertions re-classify as ITD (exact upstream
+duplicate >= 3 bp) or I&I (> 50% upstream match).
 """
 
 from __future__ import annotations
@@ -50,50 +51,95 @@ def _vcf_header():
     )
 
 
-def _emit_vcf(chro, loc, ref_var, alt_var, type_var, target, ratio,
-              min_cov, removed, added):
-    _emit([chro, str(loc), ".", ref_var, alt_var, ".", ".",
-           "TYPE=" + type_var + ";TARGET=" + target + ";RATIO=" + ratio +
-           ";MINCOV=" + min_cov + ";REMOVED=" + str(removed) +
-           ";ADDED=" + str(added)])
+class GenomeMap:
+    """Target-index -> genome-coordinate mapping from the FASTA exon
+    headers. Index i of the concatenated target maps to ``nts[i]``
+    (1-based genomic); '-'-strand exons contribute their positions in
+    reverse so the mapping is monotone within an exon either way."""
+
+    def __init__(self, target_path):
+        if not target_path:
+            sys.exit("ERROR: Target file is empty\n")
+        self.nts: list[int] = []
+        self.chro = None
+        self.strand = None
+        for header, _seq in iter_fasta(target_path):
+            loc_token = header.split(" ")[0]
+            if ":" not in loc_token or "-" not in loc_token:
+                sys.exit("ERROR: Fasta entries do not contain a correctly "
+                         "formatted location: {}\n".format(loc_token))
+            attr = parse_header_attrs(header)
+            self.chro, pos = attr["location"].split(":")
+            lo, hi = pos.split("-")
+            if "strand" not in attr:
+                attr["strand"] = "+"
+                sys.stderr.write("WARNING: Strand is assumed to be '+' \n")
+            self.strand = attr["strand"]
+            exon = list(range(int(lo), int(hi) + 1))
+            self.nts.extend(reversed(exon) if self.strand == "-"
+                            else exon)
+
+    @property
+    def minus(self) -> bool:
+        return self.strand == "-"
+
+    def whole_region(self) -> str:
+        lo, hi = ((self.nts[-1], self.nts[0]) if self.minus
+                  else (self.nts[0], self.nts[-1]))
+        return "{}:{}-{}".format(self.chro, lo, hi)
+
+    def span(self, i: int, j: int) -> tuple[int, int]:
+        """Genomic (low, high) anchors of target window [i, j]."""
+        if self.minus:
+            return self.nts[j], self.nts[i]
+        return self.nts[i], self.nts[j]
+
+    def region(self, i: int, j: int) -> str:
+        lo, hi = self.span(i, j)
+        return "{}:{}-{}".format(self.chro, lo, hi + 1)
+
+    def allele_anchors(self, ib: int, ia: int,
+                       length: int) -> tuple[int, int]:
+        """Genomic (first, last) coordinates of a ``length``-base allele
+        whose outermost target indices are ib (left) / ia (right)."""
+        if self.minus:
+            return self.nts[ia], self.nts[ia - length + 1]
+        return self.nts[ib], self.nts[ib + length - 1]
 
 
-def load_target_coords(target_path):
-    """Per-base 1-based genomic coordinates of the concatenated target,
-    from the ``chr:start-stop`` locations in the FASTA headers; '-'-strand
-    exons contribute their positions in reverse."""
-    if not target_path:
-        sys.exit("ERROR: Target file is empty\n")
-    nts: list[int] = []
-    chro = None
-    strand = None
-    for header, _seq in iter_fasta(target_path):
-        loc_token = header.split(" ")[0]
-        if ":" not in loc_token or "-" not in loc_token:
-            sys.exit("ERROR: Fasta entries do not contain a correctly "
-                     "formatted location: {}\n".format(loc_token))
-        attr = parse_header_attrs(header)
-        chro, pos = attr["location"].split(":")
-        refstart, refstop = pos.split("-")
-        if "strand" not in attr:
-            attr["strand"] = "+"
-            sys.stderr.write("WARNING: Strand is assumed to be '+' \n")
-        strand = attr["strand"]
-        nt = list(range(int(refstart), int(refstop) + 1))
-        if strand == "-":
-            nt.reverse()
-        nts.extend(nt)
-    return nts, chro, strand
-
-
-def _extend_left(var: str, p: int, rs: str) -> int:
-    """Slide a variant leftwards through repeated context; returns the
-    0-based position just left of the leftmost placement (km's recursive
-    get_extremities, km/tools/find_report.py:84-88, iteratively)."""
-    while p - 1 > 0 and rs[p - 1] == var[-1]:
-        var = rs[p - 1] + var[:-1]
+def _slide_left(var: str, p: int, seq: str) -> int:
+    """Leftmost placement of ``var`` sliding through repeated context:
+    returns the index just left of the final position (reference models
+    this as recursion, km/tools/find_report.py:84-88)."""
+    while p - 1 > 0 and seq[p - 1] == var[-1]:
+        var = seq[p - 1] + var[:-1]
         p -= 1
     return p - 1
+
+
+def _repeat_flanks(ref_seq: str, var: str, left: int, right: int):
+    """Slide ``var`` outward through repeats on both sides: ``left`` is
+    the target index where the variant window starts, ``right`` where
+    the reference resumes after it. Returns (before, after, ib, ia) with
+    before = ref_seq[ib:left] and ``after`` ending at index ia."""
+    ib = _slide_left(var, left, ref_seq)
+    rev = ref_seq[::-1]
+    rpos = len(ref_seq) - right
+    ja = _slide_left(var[::-1], rpos, rev)
+    after = rev[ja:rpos][::-1]
+    return ref_seq[ib:left], after, ib, len(ref_seq) - ja - 1
+
+
+def _dup_classify(insert: str, alt_seq: str, pos: int) -> str:
+    """Insertion subtype against its upstream context: 'ITD' for an
+    exact >= 3 bp duplication, 'I&I' when over half the bases match."""
+    if pos - len(insert) < 0 or len(insert) < 3:
+        return "Insertion"
+    upstream = alt_seq[pos - len(insert):pos]
+    if insert == upstream:
+        return "ITD"
+    matched = sum(a == b for a, b in zip(insert, upstream))
+    return "I&I" if matched / len(insert) > 0.5 else "Insertion"
 
 
 class _Row:
@@ -114,6 +160,97 @@ class _Row:
         self.info = tok[11]
 
 
+class _Variant:
+    """Resolved genome-space description of one mutation row, ready for
+    any output mode."""
+
+    def __init__(self, region, location, type_, removed, added,
+                 variant, ref_allele, alt_allele, loc, end):
+        self.region = region
+        self.location = location
+        self.type_ = type_
+        self.removed = removed
+        self.added = added
+        self.variant = variant
+        self.ref_allele = ref_allele
+        self.alt_allele = alt_allele
+        self.loc = loc
+        self.end = end
+
+    @property
+    def split_across_exons(self) -> bool:
+        """True when the allele's genomic span is not contiguous (the
+        variant crosses an exon boundary) — VCF rows are disabled."""
+        return self.loc + len(self.ref_allele) - 1 != self.end
+
+
+def _resolve_insertion(row, gm, pos, end, delet, insert, ref_seq, mod):
+    region = gm.region(pos, end + 1)
+    var = insert.upper()
+    before, after, ib, ia = _repeat_flanks(ref_seq, var, pos, pos)
+    ref_allele = before + after
+    loc, vend = gm.allele_anchors(ib, ia, len(ref_allele))
+    span_lo, span_hi = gm.span(pos, end + 1)
+    type_ = _dup_classify(insert, row.alt_seq, pos)
+    added = str(len(insert))
+    if type_ != "Insertion":
+        added += " | " + str(span_hi - span_lo + 1)
+    return _Variant(region, gm.chro + ":" + str(span_hi), type_,
+                    str(len(delet)), added, mod, ref_allele,
+                    before + var + after, loc, vend)
+
+
+def _resolve_deletion(row, gm, pos, end, delet, insert, ref_seq, mod):
+    var = delet.upper()
+    before, after, ib, ia = _repeat_flanks(ref_seq, var, pos,
+                                           pos + len(var))
+    ref_allele = before + var + after
+    loc, vend = gm.allele_anchors(ib, ia, len(ref_allele))
+    return _Variant(gm.region(pos, end), "", row.type_, str(len(delet)),
+                    str(len(insert)), mod, ref_allele, before + after,
+                    loc, vend)
+
+
+def _resolve_substitution(row, gm, pos, end, delet, insert, ref_seq, mod):
+    lo, hi = gm.span(pos, end)
+    return _Variant(gm.region(pos, end), gm.chro + ":" + str(lo),
+                    row.type_, str(len(delet)), str(len(insert)), mod,
+                    delet.upper(), insert.upper(), lo, hi)
+
+
+def _resolve_indel(row, gm, pos, end, delet, insert, ref_seq, mod):
+    lo, hi = gm.span(pos, end)
+    left, right = ref_seq[pos - 1], ref_seq[end + 1]
+    return _Variant(gm.region(pos, end), gm.chro + ":" + str(hi),
+                    row.type_, str(len(delet)), str(len(insert)), mod,
+                    left + delet.upper() + right,
+                    left + insert.upper() + right, lo - 1, hi + 1)
+
+
+def _resolve(row, gm):
+    """Mutation row -> _Variant (genome space), or None to drop it."""
+    start, mod, stop = row.pos_str.split(":")
+    delet, insert = mod.split("/")
+    # window on the (possibly cluster-clipped) target, 0-based
+    pos = int(start) - 1 - int(row.start_off)
+    end = int(stop) - 2 - int(row.start_off)
+    ref_seq = row.ref_seq_raw.upper()
+
+    if not delet and insert:
+        handler = _resolve_insertion
+    elif row.type_ == "Deletion":
+        handler = _resolve_deletion
+    elif row.type_ == "Substitution":
+        handler = _resolve_substitution
+    elif row.type_ == "Indel":
+        handler = _resolve_indel
+    else:
+        sys.stderr.write("WARNING: This variant isn't taken account\n")
+        sys.stderr.write(" - variant: " + str(row.type_) + "\n")
+        return None
+    return handler(row, gm, pos, end, delet, insert, ref_seq, mod)
+
+
 def create_report(args):
     if args.format == "vcf" and args.info == "cluster":
         sys.exit("ERROR: -f vcf and -i cluster options are incompatible")
@@ -124,7 +261,7 @@ def create_report(args):
     samples: dict = {}
     data: dict = {}
 
-    nts, chro, strand = load_target_coords(args.target)
+    gm = GenomeMap(args.target)
 
     exclu_table = None
     if args.exclu != "":
@@ -139,10 +276,10 @@ def create_report(args):
         if line[0] == "#":
             continue
         tok = line.strip("\n").split("\t")
-        if not re.search(args.info, line) or tok[0] == "Database" or len(tok) <= 1:
+        if (not re.search(args.info, line) or tok[0] == "Database"
+                or len(tok) <= 1):
             continue
         row = _Row(tok)
-        ref_seq = row.ref_seq_raw.upper()
 
         min_exclu = ""
         if exclu_table is not None and row.alt_seq != "":
@@ -151,184 +288,75 @@ def create_report(args):
         if int(row.min_cov) < args.min_cov:
             continue
 
-        region = ""
-        location = ""
-        mod = ""
-        insert_type = row.type_
-        removed = added = "0"
-        loc_var = end_var = 0
-        ref_var = alt_var = ""
-
         if row.type_ == "Reference":
-            if strand == "-":
-                region = "{}:{}-{}".format(chro, nts[-1], nts[0])
-            else:
-                region = "{}:{}-{}".format(chro, nts[0], nts[-1])
-            if not vcf and not table_mode:
-                _emit([row.samp, region, "-", row.type_, "0", "0", "0.0",
-                       row.alt_exp, row.ratio, row.min_cov, min_exclu, "-",
-                       row.query, tok[-1], "", ""])
+            if vcf:
                 continue
-            elif vcf:
+            if not table_mode:
+                _emit([row.samp, gm.whole_region(), "-", row.type_, "0",
+                       "0", "0.0", row.alt_exp, row.ratio, row.min_cov,
+                       min_exclu, "-", row.query, tok[-1], "", ""])
                 continue
+            v = _Variant(gm.whole_region(), "-", row.type_, "0", "0",
+                         "", "", "", 0, 0)
         else:
-            start, mod, stop = row.pos_str.split(":")
-            delet, insert = mod.split("/")
-            added = str(len(insert))
-            removed = str(len(delet))
-
-            # 0-based window on the (possibly clipped) target
-            pos = int(start) - 1 - int(row.start_off)
-            end = int(stop) - 2 - int(row.start_off)
-
-            if strand == "+":
-                start_pos, end_pos = nts[pos], nts[end]
-            else:
-                start_pos, end_pos = nts[end], nts[pos]
-            region = "{}:{}-{}".format(chro, start_pos, end_pos + 1)
-
-            ref_var = delet.upper()
-            alt_var = insert.upper()
-            loc_var = start_pos
-            end_var = end_pos
-
-            if len(delet) == 0 and len(insert) != 0:
-                # pure insertion: region ends at the next base
-                if strand == "+":
-                    start_pos, end_pos = nts[pos], nts[end + 1]
-                else:
-                    start_pos, end_pos = nts[end + 1], nts[pos]
-                region = "{}:{}-{}".format(chro, start_pos, end_pos + 1)
-
-                var = insert.upper()
-                ibef = _extend_left(var, pos, ref_seq)
-                before = ref_seq[ibef:pos]
-                iaft = _extend_left(var[::-1], len(ref_seq) - pos,
-                                    ref_seq[::-1])
-                after = ref_seq[::-1][iaft:len(ref_seq) - pos][::-1]
-                iaft = len(ref_seq) - iaft - 1
-                ref_var = before + after
-                alt_var = before + var + after
-                loc_var = nts[iaft] if strand == "-" else nts[ibef]
-                end_var = (nts[iaft - len(ref_var) + 1] if strand == "-"
-                           else nts[ibef + len(ref_var) - 1])
-
-                if loc_var + len(ref_var) - 1 != end_var and vcf:
-                    sys.stderr.write("NOTE: Mutation overlaps 2 exons or "
-                                     "more, VCF output is disabled \n")
-                    continue
-
-                # ITD / I&I reinterpretation against the upstream context
-                upstream = row.alt_seq[pos - len(insert):pos]
-                match = 0
-                if pos - len(insert) >= 0:
-                    for i in range(len(insert)):
-                        if insert[i] == upstream[i]:
-                            match += 1
-                    match = float(match) / len(insert)
-
-                insert_type = "Insertion"
-                if (pos - len(insert) >= 0 and len(insert) >= 3
-                        and insert == upstream):
-                    insert_type = "ITD"
-                    added += " | " + str(end_pos - start_pos + 1)
-                elif (pos - len(insert) >= 0 and len(insert) >= 3
-                        and match > 0.5):
-                    insert_type = "I&I"
-                    added += " | " + str(end_pos - start_pos + 1)
-
-                location = chro + ":" + str(end_pos)
-
-            elif row.type_ == "Deletion":
-                region = "{}:{}-{}".format(chro, start_pos, end_pos + 1)
-                location = ""
-                insert_type = row.type_
-
-                var = delet.upper()
-                ibef = _extend_left(var, pos, ref_seq)
-                before = ref_seq[ibef:pos]
-                iaft = _extend_left(var[::-1],
-                                    len(ref_seq) - pos - 1 - len(var) + 1,
-                                    ref_seq[::-1])
-                after = ref_seq[::-1][iaft:len(ref_seq) - pos - 1 -
-                                      len(var) + 1][::-1]
-                iaft = len(ref_seq) - iaft - 1
-                ref_var = before + var + after
-                alt_var = before + after
-                loc_var = nts[iaft] if strand == "-" else nts[ibef]
-                end_var = (nts[iaft - len(ref_var) + 1] if strand == "-"
-                           else nts[ibef + len(ref_var) - 1])
-
-                if loc_var + len(ref_var) - 1 != end_var and vcf:
-                    continue
-
-            elif row.type_ == "Substitution":
-                location = chro + ":" + str(start_pos)
-                insert_type = row.type_
-                if loc_var + len(ref_var) - 1 != end_var and vcf:
-                    sys.stderr.write("NOTE: Mutation overlaps 2 exons or "
-                                     "more, VCF output is disabled \n")
-                    continue
-
-            elif row.type_ == "Indel":
-                location = chro + ":" + str(end_pos)
-                insert_type = row.type_
-                ref_var = ref_seq[pos - 1] + delet.upper() + ref_seq[end + 1]
-                alt_var = ref_seq[pos - 1] + insert.upper() + ref_seq[end + 1]
-                loc_var = start_pos - 1
-                end_var = end_pos + 1
-                if loc_var + len(ref_var) - 1 != end_var and vcf:
-                    sys.stderr.write("NOTE: Mutation overlaps 2 exons or "
-                                     "more, VCF output is disabled \n")
-                    continue
-
-            else:
-                sys.stderr.write("WARNING: This variant isn't taken account\n")
-                sys.stderr.write(" - variant: " + str(row.type_) + "\n")
+            v = _resolve(row, gm)
+            if v is None:
                 sys.stderr.write(" - line: " + line)
                 sys.exit()
+            if vcf and v.split_across_exons:
+                # deletions skip silently, like km (find_report.py:248)
+                if row.type_ != "Deletion":
+                    sys.stderr.write("NOTE: Mutation overlaps 2 exons or "
+                                     "more, VCF output is disabled \n")
+                continue
 
-        if not vcf and not table_mode:
-            _emit([row.samp, region, location, insert_type, removed, added,
-                   row.alt_exp, row.ref_exp, row.ratio, row.min_cov,
-                   min_exclu, mod, row.query, row.info, row.alt_seq,
-                   row.ref_seq_raw])
-        elif vcf:
-            if strand == "-":
-                ref_var = ref_var.translate(_COMPLEMENT)[::-1]
-                alt_var = alt_var.translate(_COMPLEMENT)[::-1]
-            _emit_vcf(chro, loc_var, ref_var, alt_var, insert_type,
-                      row.query, row.ratio, row.min_cov, removed,
-                      added.replace(" ", ""))
+        if vcf:
+            ref_allele, alt_allele = v.ref_allele, v.alt_allele
+            if gm.minus:
+                ref_allele = ref_allele.translate(_COMPLEMENT)[::-1]
+                alt_allele = alt_allele.translate(_COMPLEMENT)[::-1]
+            _emit([gm.chro, str(v.loc), ".", ref_allele, alt_allele,
+                   ".", ".",
+                   "TYPE=" + v.type_ + ";TARGET=" + row.query +
+                   ";RATIO=" + row.ratio + ";MINCOV=" + row.min_cov +
+                   ";REMOVED=" + v.removed +
+                   ";ADDED=" + v.added.replace(" ", "")])
         elif table_mode:
             var_name = (row.type_ + "/" + row.query
                         if "/" not in row.type_ else row.type_)
-            region_mod = region + ":" + mod if mod else region
-            var = (var_name, region_mod)
-            variants[var] = variants.get(var, 0) + 1
-            samples.setdefault(row.samp, set()).add(var)
-            data.setdefault(row.samp, {})[var] = float(row.ratio)
+            key = (var_name,
+                   v.region + ":" + v.variant if v.variant else v.region)
+            variants[key] = variants.get(key, 0) + 1
+            samples.setdefault(row.samp, set()).add(key)
+            data.setdefault(row.samp, {})[key] = float(row.ratio)
+        else:
+            _emit([row.samp, v.region, v.location, v.type_, v.removed,
+                   v.added, row.alt_exp, row.ref_exp, row.ratio,
+                   row.min_cov, min_exclu, v.variant, row.query, row.info,
+                   row.alt_seq, row.ref_seq_raw])
 
     if table_mode:
-        sorted_variants = sorted(variants, key=variants.get, reverse=True)
-        sys.stdout.write("Sample")
-        for v in sorted_variants:
-            if v[0].split("/")[0] == "Reference":
-                sys.stdout.write("\t" + v[0])
+        _print_table(variants, samples, data)
+
+
+def _print_table(variants, samples, data):
+    """rVAF pivot: variants (most recurrent first) as columns, samples
+    as rows; Reference columns keep their name, mutation columns show
+    region:variant; absent or zero mutation cells print '.'."""
+    order = sorted(variants, key=variants.get, reverse=True)
+    header = ["Sample"] + [name if name.split("/")[0] == "Reference"
+                           else where for name, where in order]
+    sys.stdout.write("\t".join(header) + "\n")
+    for samp, seen in samples.items():
+        cells = [samp]
+        for key in order:
+            if key not in seen:
+                cells.append(".")
+            elif "Reference" not in key[0] and not data[samp][key]:
+                cells.append(".")
             else:
-                sys.stdout.write("\t" + v[1])
-        sys.stdout.write("\n")
-        for s, sv in samples.items():
-            sys.stdout.write(s)
-            for v in sorted_variants:
-                if v in sv:
-                    if "Reference" not in v[0] and (not data[s][v]):
-                        sys.stdout.write("\t.")
-                    else:
-                        sys.stdout.write("\t" + str(data[s][v]))
-                else:
-                    sys.stdout.write("\t.")
-            sys.stdout.write("\n")
+                cells.append(str(data[samp][key]))
+        sys.stdout.write("\t".join(cells) + "\n")
 
 
 def main_find_report(args, argparser):
