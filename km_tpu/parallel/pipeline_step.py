@@ -61,6 +61,7 @@ def build_full_step(mesh: Mesh, k: int, chunk: int, bucket_cap: int,
         keep = (owner_s < n_shards) & (rank < bucket_cap)
         slot = jnp.where(keep, owner_s * bucket_cap + rank,
                          n_shards * bucket_cap)
+        dropped = jnp.sum((owner_s < n_shards) & (rank >= bucket_cap))
         bhi = jnp.full((n_shards * bucket_cap + 1,), SENTINEL, jnp.uint32) \
             .at[slot].set(hi_s)[:-1].reshape(n_shards, bucket_cap)
         blo = jnp.full((n_shards * bucket_cap + 1,), SENTINEL, jnp.uint32) \
@@ -100,7 +101,7 @@ def build_full_step(mesh: Mesh, k: int, chunk: int, bucket_cap: int,
 
         return (delta_hi[None, None], delta_lo[None, None],
                 delta_cnt[None, None], tip_counts[None],
-                child_mask[None])
+                child_mask[None], dropped[None, None])
 
     mapped = jax.shard_map(
         kernel, mesh=mesh,
@@ -114,7 +115,7 @@ def build_full_step(mesh: Mesh, k: int, chunk: int, bucket_cap: int,
                   P(), P()),                        # ratio, n_cutoff
         out_specs=(P(reads_axis, shard_axis), P(reads_axis, shard_axis),
                    P(reads_axis, shard_axis), P(reads_axis),
-                   P(reads_axis)),
+                   P(reads_axis), P(reads_axis, shard_axis)),
     )
     return jax.jit(mapped)
 

@@ -244,7 +244,10 @@ def sharded_count(batches, mesh: Mesh, k: int, axis: str = "shard",
 
     n_shards = mesh.shape[axis]
     if bucket_cap is None:
-        bucket_cap = chunk  # safe upper bound: every window unique
+        # expected bucket load is chunk / n_shards runs; 2x + slack
+        # covers ordinary skew, and the overflow retry below covers
+        # adversarial key ranges (all windows owned by one shard)
+        bucket_cap = min(chunk, 2 * chunk // n_shards + 1024)
     step = build_count_exchange(mesh, axis, chunk, k, canonical, bucket_cap)
 
     from ..ops.count import chunk_stream
@@ -269,9 +272,17 @@ def sharded_count(batches, mesh: Mesh, k: int, axis: str = "shard",
     for group in device_groups():
         c = np.stack([g[0] for g in group])
         v = np.stack([g[1] for g in group])
-        hi, lo, cnt, dropped = step(jnp.asarray(c), jnp.asarray(v))
-        if int(np.asarray(dropped).sum()):
-            raise RuntimeError("bucket_cap overflow during exchange")
+        while True:
+            hi, lo, cnt, dropped = step(jnp.asarray(c), jnp.asarray(v))
+            if not int(np.asarray(dropped).sum()):
+                break
+            # overflow: some device's runs for one owner exceeded the
+            # bucket; re-dispatch this group with a doubled cap (the
+            # overflowing dispatch only dropped runs, so its outputs are
+            # discarded wholesale). chunk runs is the hard upper bound.
+            bucket_cap = min(chunk, bucket_cap * 2)
+            step = build_count_exchange(mesh, axis, chunk, k, canonical,
+                                        bucket_cap)
         hi = np.asarray(hi).reshape(-1).astype(np.uint64)
         lo = np.asarray(lo).reshape(-1).astype(np.uint64)
         cnt = np.asarray(cnt).reshape(-1)

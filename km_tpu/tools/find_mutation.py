@@ -35,8 +35,21 @@ def main_find_mut(args, argparser):
     if args.debug:
         log.basicConfig(level=log.DEBUG, format="VERBOSE: %(message)s")
 
-    for key, value in vars(args).items():
-        sys.stdout.write("#" + str(key) + ":" + str(value) + "\n")
+    # km's provenance block: exactly its argument set, in its order, so
+    # whole-output diffs against km are clean (reference:
+    # km/km.py:31-32 set_defaults-then-args ordering +
+    # km/tools/find_mutation.py:26-27). km_tpu-only extras echo behind
+    # -vv only.
+    km_keys = ("func", "count", "ratio", "steps", "branchs", "nodes",
+               "graphical", "verbose", "debug", "target_fn",
+               "jellyfish_fn")
+    present = vars(args)
+    for key in km_keys:
+        if key in present:
+            sys.stdout.write("#" + key + ":" + str(present[key]) + "\n")
+    if args.debug:
+        for key in sorted(set(present) - set(km_keys)):
+            sys.stdout.write("#" + key + ":" + str(present[key]) + "\n")
 
     profiling.reset()
     with profiling.phase("load_table"):

@@ -103,6 +103,31 @@ def test_counting_deterministic_under_partitioning():
     assert (k1 == k2).all() and (c1 == c2).all()
 
 
+def test_bucket_cap_overflow_retries_to_correct_counts():
+    """Force the exchange buckets to overflow: an A/C-only read keeps
+    every canonical k-mer in the bottom quarter of key space (revcomp
+    would start with G/T and lose the min), so two of four owner shards
+    receive hundreds of distinct runs — far past a tiny bucket_cap.
+    sharded_count must detect the dropped runs, double the cap, and
+    still converge to the host counts."""
+    _require_devices(4)
+    k = 21
+    rng = np.random.default_rng(12)
+    seq = "".join(rng.choice(list("AC"), 3000))
+    codes = encode.seq_to_codes(seq)
+    valid = np.ones(len(codes), bool)
+
+    def batches():
+        yield codes, valid
+
+    hk, hc = count_batches_host(batches(), k, canonical=True, min_count=1)
+    mesh = make_mesh(4)
+    sk, sc = sharded_count(batches(), mesh, k, canonical=True,
+                           min_count=1, chunk=1 << 10, bucket_cap=4)
+    assert (hk == sk).all()
+    assert (hc.astype(np.int64) == sc.astype(np.int64)).all()
+
+
 def test_distributed_single_host_noop_and_mesh():
     from km_tpu.parallel import distributed
 
