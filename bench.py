@@ -6,9 +6,10 @@ replaces `jellyfish count`. vs_baseline compares against an estimated
 20M k-mers/s for multithreaded Jellyfish on a commodity host (the
 reference publishes no numbers; see BASELINE.md).
 
-Extra fields: catalog walk latency (batched frontier walk of the nine
-GRCh38 targets replicated to 400 against a bundled fixture table) and a
-golden-report equality check.
+Extra fields: catalog analysis latency for 400 targets (host batch path
+and the full device pipeline — walk, Dijkstra, NNLS — with rows checked
+equal), end-to-end file->table counting throughput, and a golden-report
+equality check.
 """
 
 import json
@@ -95,12 +96,11 @@ def bench_walk(n_targets: int = 400):
 
 
 def bench_walk_device(n_targets: int = 400):
-    """Single-dispatch device walk, warm (second run) timing. The walk
-    kernel takes minutes to compile on a tunneled backend and the
-    persistent cache does not load there, so this is opt-in
-    (KM_BENCH_DEVICE_WALK=1)."""
-    import os
-
+    """Full device pipeline (single-dispatch walk, batched Dijkstra
+    sweeps, batched float64 NNLS), warm (second run) timing. Returns
+    (warm_seconds, stage_seconds dict). First-ever run on a machine
+    pays XLA compiles (persisted to the on-disk cache); warm runs are
+    pure execution. Rows are asserted equal to the host pipeline's."""
     from km_tpu.models.batch import run_catalog
     from km_tpu.models.table import CountTable
     from km_tpu.ops.device_table import DeviceCountTable
@@ -108,13 +108,70 @@ def bench_walk_device(n_targets: int = 400):
     host = CountTable.from_jf("/root/reference/data/jf/03H116_ITD.jf")
     dev = DeviceCountTable.from_host(host)
     targets = _make_catalog_targets(n_targets, host.k)
+    host_rows = run_catalog(targets, host, walk="host")
     run_catalog(targets, dev, walk="device")  # compile + warm
     targets2 = _make_catalog_targets(n_targets, host.k)
     t0 = time.perf_counter()
     rows = run_catalog(targets2, dev, walk="device")
     dt = time.perf_counter() - t0
     assert len(rows) == n_targets
+    assert [[str(r) for r in rs] for rs in rows] == \
+        [[str(r) for r in rs] for rs in host_rows], \
+        "device rows != host rows"
     return dt
+
+
+def bench_count_e2e(target_mb: int = 256):
+    """End-to-end counting throughput on a real file: FASTQ bytes on
+    disk -> parse (native C++) -> device count -> merged table (the
+    capability of `jellyfish count <fastq> -o x.jf`, reference:
+    example/run_leucegene.sh:22). Returns (kmers_per_sec, n_kmers).
+
+    Honest caveat measured in: on a tunneled TPU the host<->device
+    link, not the kernel, dominates this number."""
+    import os
+
+    import numpy as np
+
+    from km_tpu.io.fastq import read_batches
+    from km_tpu.ops import count as opcount
+
+    path = os.environ.get("KM_TPU_BENCH_FASTQ",
+                          "/tmp/km_tpu_bench_%dmb.fastq" % target_mb)
+    if not os.path.exists(path):
+        _write_synthetic_fastq(path, target_mb)
+
+    t0 = time.perf_counter()
+    batches = read_batches([path], min_quality="+")
+    keys, counts = opcount.count_batches_device(batches, K,
+                                                canonical=True,
+                                                min_count=1)
+    dt = time.perf_counter() - t0
+    assert len(keys) > 0
+    n_windows = int(np.asarray(counts, dtype=np.int64).sum())
+    return n_windows / dt, len(keys)
+
+
+def _write_synthetic_fastq(path: str, target_mb: int,
+                           read_len: int = 100) -> None:
+    """Random-sequence FASTQ of roughly target_mb megabytes."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    per_rec = 2 * read_len + 40
+    n_reads = (target_mb << 20) // per_rec
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    qual = b"I" * read_len
+    block = 1 << 14
+    with open(path, "wb") as f:
+        for lo in range(0, n_reads, block):
+            n = min(block, n_reads - lo)
+            seqs = rng.choice(bases, (n, read_len)).astype(np.uint8)
+            recs = []
+            for i in range(n):
+                recs.append(b"@r%d\n%s\n+\n%s\n" % (
+                    lo + i, seqs[i].tobytes(), qual))
+            f.write(b"".join(recs))
 
 
 def check_golden():
@@ -146,8 +203,6 @@ def check_golden():
 
 
 def main():
-    import os
-
     kmers_per_sec = bench_counting()
     try:
         walk_seconds = bench_walk()
@@ -155,11 +210,15 @@ def main():
         walk_seconds = None
         print(f"walk bench failed: {e}", file=sys.stderr)
     device_walk_seconds = None
-    if os.environ.get("KM_BENCH_DEVICE_WALK"):
-        try:
-            device_walk_seconds = bench_walk_device()
-        except Exception as e:
-            print(f"device walk bench failed: {e}", file=sys.stderr)
+    try:
+        device_walk_seconds = bench_walk_device()
+    except Exception as e:
+        print(f"device walk bench failed: {e}", file=sys.stderr)
+    e2e_kmers_per_sec = None
+    try:
+        e2e_kmers_per_sec, _n = bench_count_e2e()
+    except Exception as e:
+        print(f"count e2e bench failed: {e}", file=sys.stderr)
     try:
         golden_ok = check_golden()
     except Exception as e:
@@ -178,6 +237,9 @@ def main():
             "catalog_walk_400_device_warm_s": (
                 round(device_walk_seconds, 3)
                 if device_walk_seconds else None),
+            "count_e2e_file_kmers_per_s": (
+                round(e2e_kmers_per_sec, 1)
+                if e2e_kmers_per_sec else None),
             "golden_npm1_report_ok": golden_ok,
             "baseline_assumption": "jellyfish ~20e6 kmers/s/host",
         },

@@ -21,16 +21,18 @@ for fq in "$@"; do
   #    -Q+ -t 8; emits Jellyfish's own binary/sorted .jf layout)
   km-tpu count -k 31 -L 2 -Q '+' -o "$table" "$fq"
 
-  # 2. one batched walk over the whole catalog (replaces the per-target
-  #    shell loop of separate `km find_mutation | km find_report`
-  #    processes), then per-target reports
+  # 2. one batched walk over the whole catalog: every target advances
+  #    through the device pipeline together (replaces the per-target
+  #    shell loop of separate `km find_mutation` processes; rows are
+  #    byte-identical to sequential mode)
+  km-tpu find_mutation --batch "$CATALOG" "$table" > "$OUT/$sample.all.tsv"
+
+  # 3. per-target genome-coordinate reports from the batched rows
+  #    (column 2 = Query = target name)
   for fa in "$CATALOG"/*.fa; do
     name=$(basename "${fa%.fa}")
-    km-tpu find_mutation "$fa" "$table" \
+    awk -F'\t' -v t="$name" '$2 == t' "$OUT/$sample.all.tsv" \
       | km-tpu find_report -t "$fa" \
       > "$OUT/${sample}_${name}.xls"
   done
-
-  # fast path: all targets in one process/dispatch stream (same rows)
-  # km-tpu find_mutation --batch "$CATALOG" "$table" > "$OUT/$sample.all.tsv"
 done
