@@ -130,7 +130,8 @@ def add_count_args(parser):
              "k-mers (like jellyfish count -Q)")
     parser.add_argument(
         "-o", "--output", required=True,
-        help="Output count table (.npz)")
+        help="Output count table (.npz, or .jf for Jellyfish's own "
+             "binary/sorted layout)")
     parser.add_argument(
         "--device", choices=["auto", "tpu", "cpu", "host"], default="auto",
         help="Where to run counting (host = pure numpy)")

@@ -99,11 +99,14 @@ def solve_batch(problems, pad_paths: int | None = None,
     n_n = [len(counts) for _, counts in problems]
     P = pad_paths or int(2 ** np.ceil(np.log2(max(max(n_p), 2))))
     N = pad_kmers or int(2 ** np.ceil(np.log2(max(max(n_n), 2))))
-    B = len(problems)
+    # batch padded to a power of two for stable compile shapes; padding
+    # problems are all-zero (zero gradient -> frozen after one step)
+    B = int(2 ** np.ceil(np.log2(max(len(problems), 2))))
 
     contrib = np.zeros((B, N, P), dtype=np.float64)
     counts = np.zeros((B, N), dtype=np.float64)
     coef0 = np.zeros((B, P), dtype=np.float64)
+    n_n = n_n + [1] * (B - len(problems))
     for b, (paths, cnt) in enumerate(problems):
         cb = build_contrib(paths, n_n[b])
         cf32 = np.asarray(cnt, dtype=np.float32)
@@ -120,4 +123,5 @@ def solve_batch(problems, pad_paths: int | None = None,
             jnp.asarray(np.array(n_n, dtype=np.float64)))
         coef = np.asarray(coef, dtype=np.float64)
         rvaf = np.asarray(rvaf, dtype=np.float64)
-    return [(coef[b, :n_p[b]], rvaf[b, :n_p[b]]) for b in range(B)]
+    return [(coef[b, :n_p[b]], rvaf[b, :n_p[b]])
+            for b in range(len(problems))]

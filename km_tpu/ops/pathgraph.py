@@ -31,7 +31,10 @@ import jax.numpy as jnp
 
 MAX_DENSE_NODES = 2048  # graphs past this fall back to the host sweep
 CHUNK_BYTES = 256 << 20  # dense [B, n, n] adjacency budget per dispatch
-MAX_CHUNK = 512
+# XLA:TPU compile time for the sweep grows sharply with batch width
+# (B=512 at n=128 compiles for >10 min; B=64 in seconds), so chunks
+# stay narrow and the deferred readback below pipelines the dispatches
+MAX_CHUNK = 64
 
 
 @partial(jax.jit, static_argnames=("n",))
