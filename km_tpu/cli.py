@@ -61,6 +61,9 @@ def main(argv=None):
         parser.print_help(sys.stderr)
         sys.exit(1)
 
+    from .utils import jaxcache
+
+    jaxcache.enable()  # kernel compiles persist across CLI invocations
     args = parser.parse_args(argv)
     args.func(args, parser)
 

@@ -3,7 +3,16 @@
 The walk/count kernels take minutes to compile on a TPU backend but are
 stable across runs; caching them on disk makes every process after the
 first start in seconds. Call enable() before the first jit execution
-(bench.py and the CLI do)."""
+(bench.py and the CLI do).
+
+The cache key is computed from the serialized MLIR module, which embeds
+the SOURCE LOCATIONS of every traced frame — including the entry-point
+script's path and line numbers. Left alone, that makes the key unstable
+across entry points: the CLI, the bench driver, and every test file each
+recompile identical kernels from scratch (measured 130-200 s per count
+kernel shape on the tunneled TPU). Canonicalizing source paths out of
+the HLO and dropping full tracebacks from locations makes the key a
+function of the computation alone, so one compile serves every caller."""
 
 from __future__ import annotations
 
@@ -22,4 +31,12 @@ def enable(cache_dir: str | None = None) -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
-        pass  # older jax: cache unavailable, compile as usual
+        return  # older jax: cache unavailable, compile as usual
+    try:
+        # stabilize the cache key across entry points (see module doc)
+        jax.config.update("jax_include_full_tracebacks_in_locations",
+                          False)
+        jax.config.update("jax_hlo_source_file_canonicalization_regex",
+                          ".*")
+    except Exception:
+        pass  # older jax: keys stay per-entry-point, cache still works

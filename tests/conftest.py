@@ -21,6 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from km_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable()  # CPU test compiles persist across pytest runs too
+
 REFDATA = os.environ.get("KM_TPU_REFDATA", "/root/reference/data")
 
 
