@@ -32,9 +32,23 @@ def main_count(args, argparser):
         if total < 8 << 20:
             use_device = False
     if use_device:
-        keys, counts = opcount.count_batches_device(
-            batches, args.k, canonical=args.canonical,
-            min_count=args.min_count)
+        # streaming accumulator: counts live on device, one readback at
+        # the end; on capacity overflow re-read the files with a larger
+        # table (counting is stateless, so a retry is exact)
+        capacity = 1 << 22
+        while True:
+            try:
+                keys, counts = opcount.count_batches_device_stream(
+                    batches, args.k, canonical=args.canonical,
+                    min_count=args.min_count, capacity=capacity)
+                break
+            except opcount.CountCapacityOverflow:
+                capacity *= 4
+                sys.stderr.write(
+                    "count table capacity exceeded; retrying with "
+                    "%d slots\n" % capacity)
+                batches = read_batches(args.reads_fn,
+                                       min_quality=args.min_quality)
     else:
         keys, counts = opcount.count_batches_host(
             batches, args.k, canonical=args.canonical,

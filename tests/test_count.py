@@ -88,3 +88,71 @@ def test_min_count_filter():
     assert len(k1) < len(k2)
     name = encode.pack_kmer("ACGTACGT")
     assert name in k1
+
+
+def test_stream_matches_host_counting():
+    """The streaming device accumulator (one fused dispatch per chunk,
+    readback only at the end) must equal host counting exactly,
+    including across chunk boundaries and with repeated k-mers."""
+    from km_tpu.ops.count import count_batches_device_stream
+
+    rng = np.random.default_rng(11)
+    ref = _random_seq(rng, 4_000)
+    # reads sampled from a reference so k-mers repeat
+    reads = [ref[o:o + 100]
+             for o in rng.integers(0, len(ref) - 100, 300)]
+    k = 21
+
+    def batches():
+        for s in reads:
+            codes = encode.seq_to_codes(s)
+            yield codes, np.ones(len(codes), bool)
+
+    hk, hc = count_batches_host(batches(), k)
+    sk, sc = count_batches_device_stream(batches(), k, chunk=1 << 12,
+                                         capacity=1 << 13)
+    assert (hk == sk).all()
+    assert (hc == sc).all()
+
+
+def test_stream_min_count_and_quality():
+    from km_tpu.ops.count import count_batches_device_stream
+
+    rng = np.random.default_rng(12)
+    ref = _random_seq(rng, 1_000)
+    reads = [ref[o:o + 60] for o in rng.integers(0, len(ref) - 60, 80)]
+    k = 17
+
+    def batches():
+        for s in reads:
+            codes = encode.seq_to_codes(s)
+            valid = np.ones(len(codes), bool)
+            valid[::13] = False  # simulate low-quality bases
+            yield codes, valid
+
+    hk, hc = count_batches_host(batches(), k, min_count=2)
+    sk, sc = count_batches_device_stream(batches(), k, min_count=2,
+                                         chunk=1 << 11,
+                                         capacity=1 << 12)
+    assert (hk == sk).all()
+    assert (hc == sc).all()
+
+
+def test_stream_capacity_overflow_raises():
+    from km_tpu.ops.count import (CountCapacityOverflow,
+                                  count_batches_device_stream)
+
+    rng = np.random.default_rng(13)
+    seq = _random_seq(rng, 3_000)  # nearly all 21-mers distinct
+
+    def batches():
+        codes = encode.seq_to_codes(seq)
+        yield codes, np.ones(len(codes), bool)
+
+    try:
+        count_batches_device_stream(batches(), 21, chunk=1 << 11,
+                                    capacity=256)
+    except CountCapacityOverflow as e:
+        assert e.capacity == 256
+    else:
+        raise AssertionError("expected CountCapacityOverflow")
