@@ -6,33 +6,112 @@ replaces `jellyfish count`. vs_baseline compares against an estimated
 20M k-mers/s for multithreaded Jellyfish on a commodity host (the
 reference publishes no numbers; see BASELINE.md).
 
-Extra fields: catalog analysis latency for 400 targets (host batch path
-and the full device pipeline — walk, Dijkstra, NNLS — with rows checked
-equal), end-to-end file->table counting throughput, and a golden-report
-equality check.
+Survivability design: the parent process never imports jax, so a
+wedged device tunnel cannot hang it. Every stage runs as a subprocess
+under a hard wall-clock deadline (cheapest first); a stage that hangs
+or dies only loses its own fields. The final JSON line is printed from
+whatever completed, always, in bounded time.
+
+Stages (each also runnable alone: `python bench.py --stage NAME`):
+  golden    host-only NPM1 report byte-check            (no device)
+  hostwalk  400-target catalog on the host batch path   (no device)
+  counting  headline device counting throughput
+  devwalk   full device pipeline (walk+Dijkstra+NNLS) on 400 targets,
+            cold AND warm, rows asserted equal to the host pipeline
+  e2e       64 MB FASTQ file -> count table, end to end
+  sharded   one realistic-shape sharded pipeline step on a virtual
+            8-device CPU mesh (reads-DP x table-TP), bytes exchanged
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
-from km_tpu.utils.jaxcache import enable as _enable_jax_cache
-
-_enable_jax_cache()
-
 JELLYFISH_BASELINE_KMERS_PER_SEC = 20e6
 K = 31
+# v5e HBM bandwidth, for the counting roofline context (the sort is
+# memory-bound: see `sort_traffic_bytes_per_kmer` below)
+V5E_HBM_BYTES_PER_S = 819e9
 
 
-def bench_counting(iters: int = 16, chunk: int = 1 << 24):
+# ---------------------------------------------------------------------------
+# stage implementations (run in subprocesses; each prints one JSON line)
+
+
+def stage_golden():
+    """NPM1 find_mutation|find_report golden check (host only)."""
+    import contextlib
+    import io as _io
+    from argparse import Namespace
+    from io import StringIO
+
+    from km_tpu.tools.find_mutation import main_find_mut
+    from km_tpu.tools.find_report import main_find_report
+
+    target = "/root/reference/data/catalog/GRCh38/NPM1_4ins_exons_10-11utr.fa"
+    args = Namespace(count=5, graphical=False,
+                     jellyfish_fn="/root/reference/data/jf/02H025_NPM1.jf",
+                     ratio=0.05, steps=500, branchs=10, nodes=10000,
+                     target_fn=[target], verbose=False, debug=False)
+    out = _io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main_find_mut(args, None)
+    fm = out.getvalue()
+    rargs = Namespace(target=target, infile=StringIO(fm), info="vs_ref",
+                      min_cov=1, exclu="", format=None)
+    out = _io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main_find_report(rargs, None)
+    rep = out.getvalue().split("\n")[2].split("\t")
+    ok = (rep[3] == "ITD" and rep[5] == "4 | 1" and rep[8] == "0.484"
+          and rep[9] == "2428")
+    return {"golden_npm1_report_ok": bool(ok)}
+
+
+def _make_catalog_targets(n_targets, k):
+    from km_tpu.io.fasta import read_target
+    from km_tpu.models.sequence import TargetSeq
+
+    cat = "/root/reference/data/catalog/GRCh38"
+    base = []
+    for fn in sorted(os.listdir(cat)):
+        seqs, _ = read_target(os.path.join(cat, fn))
+        base.append(("".join(seqs), os.path.splitext(fn)[0]))
+    targets = []
+    i = 0
+    while len(targets) < n_targets:
+        seq, name = base[i % len(base)]
+        targets.append(TargetSeq(seq, f"{name}_{i}", k))
+        i += 1
+    return targets
+
+
+def stage_hostwalk(n_targets: int = 400):
+    """400-target batched catalog analysis, host table (pure numpy; the
+    reference takes seconds *per target*)."""
+    from km_tpu.models.batch import run_catalog
+    from km_tpu.models.table import CountTable
+
+    host = CountTable.from_jf("/root/reference/data/jf/03H116_ITD.jf")
+    targets = _make_catalog_targets(n_targets, host.k)
+    t0 = time.perf_counter()
+    rows = run_catalog(targets, host, walk="host")
+    dt = time.perf_counter() - t0
+    assert len(rows) == n_targets
+    return {"catalog_walk_400_targets_s": round(dt, 3)}
+
+
+def stage_counting(iters: int = 8, chunk: int = 1 << 24):
     """Sustained device counting throughput.
 
     Every iteration processes *distinct* data (salted on device) and all
     results are read back, so neither execution caching nor lazy
     dispatch in the device tunnel can fake the numbers.
     """
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
@@ -57,88 +136,58 @@ def bench_counting(iters: int = 16, chunk: int = 1 << 24):
     total = sum(int(o[0]) for o in outs)  # forces every execution
     dt = time.perf_counter() - t0
     assert total == n_windows * iters
-    return n_windows * iters / dt
+    rate = n_windows * iters / dt
+    # Roofline context: the sort phase bounds the kernel. Per k-mer the
+    # radix partition + bitonic-merge pipeline moves ~10 passes over
+    # (8 B key + 4 B payload) = ~120 B of HBM traffic (see
+    # km_tpu/ops/count.py); implied traffic / chip HBM bandwidth places
+    # the number on the roofline.
+    sort_traffic_bytes_per_kmer = 120.0
+    frac = rate * sort_traffic_bytes_per_kmer / V5E_HBM_BYTES_PER_S
+    return {"value": round(rate, 1),
+            "count_sort_traffic_frac_hbm_roofline": round(frac, 3)}
 
 
-def _make_catalog_targets(n_targets, k):
-    import os
-
-    from km_tpu.io.fasta import read_target
-    from km_tpu.models.sequence import TargetSeq
-
-    cat = "/root/reference/data/catalog/GRCh38"
-    base = []
-    for fn in sorted(os.listdir(cat)):
-        seqs, _ = read_target(os.path.join(cat, fn))
-        base.append(("".join(seqs), os.path.splitext(fn)[0]))
-    targets = []
-    i = 0
-    while len(targets) < n_targets:
-        seq, name = base[i % len(base)]
-        targets.append(TargetSeq(seq, f"{name}_{i}", k))
-        i += 1
-    return targets
-
-
-def bench_walk(n_targets: int = 400):
-    """400-target batched catalog analysis (host table: robust, no XLA
-    compiles; the reference takes seconds *per target*)."""
-    from km_tpu.models.batch import run_catalog
-    from km_tpu.models.table import CountTable
-
-    host = CountTable.from_jf("/root/reference/data/jf/03H116_ITD.jf")
-    targets = _make_catalog_targets(n_targets, host.k)
-    t0 = time.perf_counter()
-    rows = run_catalog(targets, host, walk="host")
-    dt = time.perf_counter() - t0
-    assert len(rows) == n_targets
-    return dt
-
-
-def bench_walk_device(n_targets: int = 400):
+def stage_devwalk(n_targets: int = 400):
     """Full device pipeline (single-dispatch walk, batched Dijkstra
-    sweeps, batched float64 NNLS), warm (second run) timing. Returns
-    (warm_seconds, stage_seconds dict). First-ever run on a machine
-    pays XLA compiles (persisted to the on-disk cache); warm runs are
-    pure execution. Rows are asserted equal to the host pipeline's."""
+    sweeps, batched float64 NNLS): cold (first run this process; XLA
+    compiles ride the persistent cache) and warm timings, rows asserted
+    equal to the host pipeline's (TPU correctness evidence)."""
     from km_tpu.models.batch import run_catalog
     from km_tpu.models.table import CountTable
     from km_tpu.ops.device_table import DeviceCountTable
 
     host = CountTable.from_jf("/root/reference/data/jf/03H116_ITD.jf")
-    dev = DeviceCountTable.from_host(host)
     targets = _make_catalog_targets(n_targets, host.k)
     host_rows = run_catalog(targets, host, walk="host")
-    run_catalog(targets, dev, walk="device")  # compile + warm
-    # min of 3: the tunneled-TPU link's latency/bandwidth swings 3-4x
-    # between runs; the minimum is the honest device-pipeline number
-    dt = float("inf")
-    for _ in range(3):
-        targets2 = _make_catalog_targets(n_targets, host.k)
-        t0 = time.perf_counter()
-        rows = run_catalog(targets2, dev, walk="device")
-        dt = min(dt, time.perf_counter() - t0)
-    assert len(rows) == n_targets
-    assert [[str(r) for r in rs] for rs in rows] == \
-        [[str(r) for r in rs] for rs in host_rows], \
-        "device rows != host rows"
-    return dt
+
+    dev = DeviceCountTable.from_host(host)
+    t0 = time.perf_counter()
+    rows = run_catalog(targets, dev, walk="device")
+    cold = time.perf_counter() - t0
+    match = ([[str(r) for r in rs] for rs in rows]
+             == [[str(r) for r in rs] for rs in host_rows])
+
+    targets2 = _make_catalog_targets(n_targets, host.k)
+    t0 = time.perf_counter()
+    rows2 = run_catalog(targets2, dev, walk="device")
+    warm = time.perf_counter() - t0
+    assert len(rows2) == n_targets
+    return {"catalog_walk_400_device_warm_s": round(warm, 3),
+            "catalog_walk_400_device_cold_s": round(cold, 3),
+            "device_rows_match_host": bool(match)}
 
 
-def bench_count_e2e(target_mb: int = 256):
-    """End-to-end counting throughput on a real file: FASTQ bytes on
-    disk -> parse (native C++) -> 2-bit packed upload -> one fused
-    device dispatch per chunk (unpack + count + merge into a
-    device-resident accumulator) -> single final readback (the
-    capability of `jellyfish count <fastq> -o x.jf`, reference:
-    example/run_leucegene.sh:22). Returns (kmers_per_sec, n_kmers).
-    Reads are sampled from a 2 MB reference, so the table stays small
-    like a real transcriptome's.
+def stage_e2e(target_mb: int = 64):
+    """End-to-end counting on a real file: FASTQ bytes on disk -> parse
+    (native C++) -> 2-bit packed upload -> one fused device dispatch per
+    chunk (unpack + count + merge into a device-resident accumulator) ->
+    single final readback (the capability of `jellyfish count <fastq>`,
+    reference: example/run_leucegene.sh:22). Reads are sampled from a
+    2 MB reference so the table stays small like a real transcriptome's.
 
     Honest caveat measured in: on a tunneled TPU the host<->device
     link, not the kernel, bounds this number."""
-    import os
-
     import numpy as np
 
     from km_tpu.io.fastq import read_batches
@@ -146,42 +195,70 @@ def bench_count_e2e(target_mb: int = 256):
 
     path = os.environ.get("KM_TPU_BENCH_FASTQ",
                           "/tmp/km_tpu_bench_ref_%dmb.fastq" % target_mb)
-    if not os.path.exists(path):
-        _write_synthetic_fastq(path, target_mb)
+    _ensure_synthetic_fastq(path, target_mb)
 
     t0 = time.perf_counter()
     batches = read_batches([path], min_quality="+")
-    keys, counts = opcount.count_batches_device_stream(
-        batches, K, canonical=True, min_count=1)
+    try:
+        keys, counts = opcount.count_batches_device_stream(
+            batches, K, canonical=True, min_count=1)
+    except opcount.CountCapacityOverflow:
+        # stateless retry with room to spare (the fixture's 2 MB
+        # reference yields ~2M distinct k-mers; default capacity covers
+        # it, this guards KM_TPU_BENCH_FASTQ overrides)
+        batches = read_batches([path], min_quality="+")
+        keys, counts = opcount.count_batches_device_stream(
+            batches, K, canonical=True, min_count=1, capacity=1 << 26)
     dt = time.perf_counter() - t0
     assert len(keys) > 0
     n_windows = int(np.asarray(counts, dtype=np.int64).sum())
-    return n_windows / dt, len(keys)
+    return {"count_e2e_file_kmers_per_s": round(n_windows / dt, 1),
+            "count_e2e_file_mb": target_mb}
 
 
-def _write_synthetic_fastq(path: str, target_mb: int,
-                           read_len: int = 100,
-                           ref_mb: float = 2.0) -> None:
+def _ensure_synthetic_fastq(path: str, target_mb: int,
+                            read_len: int = 100,
+                            ref_mb: float = 2.0) -> None:
     """FASTQ of roughly target_mb megabytes sampled from a random
     ``ref_mb``-MB reference, like RNA-seq reads off a transcriptome:
     k-mers repeat with the coverage, so the count table is orders of
     magnitude smaller than the read volume (random unanchored reads
     would make every 31-mer unique and the benchmark unrealistically
-    readback-bound)."""
+    readback-bound).
+
+    Written to a temp name then renamed, and size-validated, so a
+    half-written file from a killed earlier run is never reused."""
     import numpy as np
+
+    per_rec = 2 * read_len + 40
+    n_reads = (target_mb << 20) // per_rec
+    if os.path.exists(path):
+        # quick validity check: expected byte size within 1%, and the
+        # final record terminator in place
+        want = None
+        try:
+            sz = os.path.getsize(path)
+            with open(path, "rb") as f:
+                f.seek(-1, os.SEEK_END)
+                tail_ok = f.read(1) == b"\n"
+            want = sz > 0.99 * (target_mb << 20) and tail_ok
+        except OSError:
+            want = False
+        if want:
+            return
+        os.unlink(path)
 
     rng = np.random.default_rng(0)
     ref_len = int(ref_mb * (1 << 20))
     ref = rng.integers(0, 4, ref_len, dtype=np.uint8)
     bases = np.frombuffer(b"ACGT", np.uint8)
-    per_rec = 2 * read_len + 40
-    n_reads = (target_mb << 20) // per_rec
     qual = b"I" * read_len
     block = 1 << 14
     offs_all = rng.integers(0, ref_len - read_len, n_reads)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp.%d" % os.getpid()
+    with open(tmp, "wb") as f:
         for lo in range(0, n_reads, block):
-            offs = offs_all[lo:lo + n_reads - lo][:block]
+            offs = offs_all[lo:lo + block]
             idx = offs[:, None] + np.arange(read_len)[None, :]
             seqs = bases[ref[idx]]
             recs = []
@@ -189,78 +266,176 @@ def _write_synthetic_fastq(path: str, target_mb: int,
                 recs.append(b"@r%d\n%s\n+\n%s\n" % (
                     lo + i, seqs[i].tobytes(), qual))
             f.write(b"".join(recs))
+    os.replace(tmp, path)
 
 
-def check_golden():
-    import contextlib
-    import io as _io
-    from argparse import Namespace
-    from io import StringIO
+def stage_sharded():
+    """One full sharded pipeline step (count -> all_to_all exchange ->
+    merge -> psum lookups -> child expansion) at realistic shapes on the
+    virtual 8-device CPU mesh: wall time + bytes exchanged. CPU-mesh
+    scale evidence for the multi-chip path."""
+    import numpy as np
 
-    from km_tpu.tools.find_mutation import main_find_mut
-    from km_tpu.tools.find_report import main_find_report
+    import jax
 
-    target = "/root/reference/data/catalog/GRCh38/NPM1_4ins_exons_10-11utr.fa"
-    args = Namespace(count=5, graphical=False,
-                     jellyfish_fn="/root/reference/data/jf/02H025_NPM1.jf",
-                     ratio=0.05, steps=500, branchs=10, nodes=10000,
-                     target_fn=[target], verbose=False, debug=False)
-    out = _io.StringIO()
-    with contextlib.redirect_stdout(out):
-        main_find_mut(args, None)
-    fm = out.getvalue()
-    rargs = Namespace(target=target, infile=StringIO(fm), info="vs_ref",
-                      min_cov=1, exclu="", format=None)
-    out = _io.StringIO()
-    with contextlib.redirect_stdout(out):
-        main_find_report(rargs, None)
-    rep = out.getvalue().split("\n")[2].split("\t")
-    return (rep[3] == "ITD" and rep[5] == "4 | 1" and rep[8] == "0.484"
-            and rep[9] == "2428")
+    jax.config.update("jax_platforms", "cpu")  # virtual 8-device mesh
+
+    from km_tpu.parallel.pipeline_step import build_full_step
+    from km_tpu.parallel.sharded_table import SENTINEL
+
+    from jax.sharding import Mesh
+    import jax.numpy as jnp
+
+    devices = np.array(jax.devices("cpu")[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("reads", "shard"))
+    R, S = 2, 4
+    chunk = 1 << 18           # codes per device per step
+    queries_per_row = 1 << 14  # walk-tip batch per reads-row
+    bucket_cap = 2 * chunk // S + 1024
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, (R, S, chunk), dtype=np.uint8)
+    valid = np.ones((R, S, chunk), dtype=bool)
+    n_keys = 1 << 20  # 1M-record persistent table
+    keys = np.unique(rng.integers(0, 1 << 62, n_keys, dtype=np.uint64))
+    per = -(-len(keys) // S)
+    pad = per * S - len(keys)
+    hi = np.concatenate([(keys >> np.uint64(32)).astype(np.uint32),
+                         np.full(pad, SENTINEL, np.uint32)])[None]
+    lo = np.concatenate([(keys & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                         np.full(pad, SENTINEL, np.uint32)])[None]
+    cnts = np.concatenate([rng.integers(1, 100, len(keys)),
+                           np.zeros(pad)]).astype(np.int32)[None]
+    rounds = max(1, int(np.ceil(np.log2(max(per, 2)))) + 1)
+    q = rng.integers(0, 1 << 62, (R, queries_per_row), dtype=np.uint64)
+    qhi = (q >> np.uint64(32)).astype(np.uint32)
+    qlo = (q & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    step = build_full_step(mesh, K, chunk, bucket_cap, rounds)
+    args = (jnp.asarray(codes), jnp.asarray(valid), jnp.asarray(hi),
+            jnp.asarray(lo), jnp.asarray(cnts), jnp.asarray(qhi),
+            jnp.asarray(qlo), jnp.float32(0.05), jnp.int32(5))
+    out = step(*args)  # compile + first step
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = step(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    # all_to_all payload per device: n_shards buckets x bucket_cap x
+    # (4+4+4) bytes, for each of R*S devices
+    exchanged = R * S * S * bucket_cap * 12
+    return {"sharded_step_8dev_warm_s": round(dt, 3),
+            "sharded_step_exchanged_bytes": int(exchanged),
+            "sharded_step_shapes": "R2xS4 chunk=%d queries=%d table=%d"
+                                   % (chunk, queries_per_row, len(keys))}
+
+
+STAGES = {
+    "golden": stage_golden,
+    "hostwalk": stage_hostwalk,
+    "counting": stage_counting,
+    "devwalk": stage_devwalk,
+    "e2e": stage_e2e,
+    "sharded": stage_sharded,
+}
+
+# (name, deadline_s, needs_device_tunnel)
+STAGE_PLAN = [
+    ("golden", 90, False),
+    ("hostwalk", 90, False),
+    ("counting", 150, True),
+    ("devwalk", 180, True),
+    ("e2e", 150, True),
+    ("sharded", 150, False),
+]
+
+
+def run_stage_subprocess(name: str, deadline: float):
+    """Run one stage in a subprocess with a hard wall-clock kill.
+    Returns (dict | None, error | None)."""
+    env = dict(os.environ)
+    if not _NEEDS_TUNNEL[name]:
+        # host-only stages never touch the device tunnel; a wedged
+        # tunnel can hang `import jax` itself (the environment's
+        # sitecustomize dials the relay when PALLAS_AXON_POOL_IPS is
+        # set), so the tunnel plugin is disabled outright
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+    if name == "sharded":
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            capture_output=True, text=True, timeout=deadline, env=env,
+            start_new_session=True)
+    except subprocess.TimeoutExpired:
+        return None, "timeout after %ds" % deadline
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().split("\n")[-3:]
+        return None, "rc=%d: %s" % (proc.returncode, " | ".join(tail))
+    for line in reversed((proc.stdout or "").strip().split("\n")):
+        try:
+            d = json.loads(line)
+            if isinstance(d, dict):
+                return d, None
+        except (ValueError, TypeError):
+            continue
+    return None, "no JSON line in stage output"
+
+
+_NEEDS_TUNNEL = {n: t for n, _, t in STAGE_PLAN}
 
 
 def main():
-    kmers_per_sec = bench_counting()
-    try:
-        walk_seconds = bench_walk()
-    except Exception as e:  # never lose the headline metric
-        walk_seconds = None
-        print(f"walk bench failed: {e}", file=sys.stderr)
-    device_walk_seconds = None
-    try:
-        device_walk_seconds = bench_walk_device()
-    except Exception as e:
-        print(f"device walk bench failed: {e}", file=sys.stderr)
-    e2e_kmers_per_sec = None
-    try:
-        e2e_kmers_per_sec, _n = bench_count_e2e()
-    except Exception as e:
-        print(f"count e2e bench failed: {e}", file=sys.stderr)
-    try:
-        golden_ok = check_golden()
-    except Exception as e:
-        golden_ok = False
-        print(f"golden check failed: {e}", file=sys.stderr)
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        name = sys.argv[2]
+        from km_tpu.utils.jaxcache import enable
 
+        enable()
+        result = STAGES[name]()
+        print(json.dumps(result), flush=True)
+        return
+
+    budget = float(os.environ.get("KM_TPU_BENCH_BUDGET", "450"))
+    t_start = time.perf_counter()
+    extra = {"baseline_assumption": "jellyfish ~20e6 kmers/s/host"}
+    errors = {}
+    value = None
+    tunnel_sick = False
+
+    for name, deadline, needs_tunnel in STAGE_PLAN:
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < 20:
+            errors[name] = "skipped: global budget exhausted"
+            continue
+        if needs_tunnel and tunnel_sick:
+            deadline = min(deadline, 60)  # fail fast on a sick tunnel
+        deadline = min(deadline, remaining - 10)
+        result, err = run_stage_subprocess(name, deadline)
+        if err:
+            errors[name] = err
+            if needs_tunnel:
+                tunnel_sick = True
+            print("bench stage %s failed: %s" % (name, err),
+                  file=sys.stderr, flush=True)
+            continue
+        if needs_tunnel:
+            tunnel_sick = False
+        if name == "counting":
+            value = result.pop("value", None)
+        extra.update(result)
+
+    if errors:
+        extra["stage_errors"] = errors
     print(json.dumps({
         "metric": "kmers_counted_per_sec_per_chip",
-        "value": round(kmers_per_sec, 1),
+        "value": round(value, 1) if value else 0.0,
         "unit": "kmers/s",
-        "vs_baseline": round(kmers_per_sec / JELLYFISH_BASELINE_KMERS_PER_SEC,
-                             3),
-        "extra": {
-            "catalog_walk_400_targets_s": (round(walk_seconds, 3)
-                                           if walk_seconds else None),
-            "catalog_walk_400_device_warm_s": (
-                round(device_walk_seconds, 3)
-                if device_walk_seconds else None),
-            "count_e2e_file_kmers_per_s": (
-                round(e2e_kmers_per_sec, 1)
-                if e2e_kmers_per_sec else None),
-            "golden_npm1_report_ok": golden_ok,
-            "baseline_assumption": "jellyfish ~20e6 kmers/s/host",
-        },
-    }))
+        "vs_baseline": (round(value / JELLYFISH_BASELINE_KMERS_PER_SEC, 3)
+                        if value else 0.0),
+        "extra": extra,
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -405,18 +405,31 @@ def count_batches_device_stream(batches, k: int, canonical: bool = True,
     until the final table. Replaces `jellyfish count <fastq>`
     (reference: example/run_leucegene.sh:22) end to end.
 
-    On capacity overflow the counting REDOES nothing: the truncated
-    accumulator is abandoned, and the already-chunked stream continues
-    on the host merge path (count is exact either way, just slower).
+    On capacity overflow the work so far is DISCARDED: the truncated
+    accumulator is unrecoverable (the input is a one-shot generator),
+    so a ``CountCapacityOverflow`` is raised and the caller re-reads
+    the input with a larger ``capacity`` (counting is stateless, so the
+    retry is exact — see tools/count.py for the retry loop).
     Returns (keys uint64, counts uint32) like count_batches_device."""
     import jax
     import jax.numpy as jnp
 
+    if chunk % 8 != 0:
+        raise ValueError(
+            "chunk must be a multiple of 8 (the 2-bit host packer works "
+            "in whole bytes); got %d" % chunk)
+
     C = capacity
     fn = None
     acc_hi = acc_lo = acc_cnt = None
+    # overflow is monotonic (the accumulator only grows), so the scalar
+    # readback that would force a device sync per chunk is only
+    # materialized every OVERFLOW_CHECK_EVERY chunks and once at the end
+    OVERFLOW_CHECK_EVERY = 16
+    n_unique = None
+    i = -1
 
-    for codes, valid in chunk_stream(batches, chunk, k):
+    for i, (codes, valid) in enumerate(chunk_stream(batches, chunk, k)):
         if fn is None:
             fn = _jitted_count_merge(k, canonical, C, chunk)
             acc_hi = jnp.full(C, np.uint32(SENTINEL32))
@@ -426,11 +439,11 @@ def count_batches_device_stream(batches, k: int, canonical: bool = True,
         acc_hi, acc_lo, acc_cnt, n_unique = fn(
             jnp.asarray(packed), jnp.asarray(validbits),
             acc_hi, acc_lo, acc_cnt)
-        if int(n_unique) > C:
-            # the merge that overflowed was truncated — the counts are
-            # unrecoverable from here (the stream is a generator), so
-            # signal the caller to recount with a larger capacity
+        if i % OVERFLOW_CHECK_EVERY == OVERFLOW_CHECK_EVERY - 1 \
+                and int(n_unique) > C:
             raise CountCapacityOverflow(C)
+    if n_unique is not None and int(n_unique) > C:
+        raise CountCapacityOverflow(C)
 
     if acc_cnt is None:
         return np.empty(0, np.uint64), np.empty(0, np.uint32)

@@ -54,8 +54,10 @@ def _refine_kernel(contrib16, counts32, coef0, n_kmers):
     coef0 [B,P] f64 (already clamped >= 0), n_kmers [B] f64 (real row
     counts). The narrow integer/f32 inputs exist purely to shrink the
     host->device upload (the tunnel link is bandwidth-bound); they are
-    exact value-preserving encodings and widen to f64 on device before
-    any arithmetic. Returns (coef [B,P], rvaf [B,P], iters)."""
+    exact value-preserving encodings within their ranges (counts <
+    2^24, occurrences < 2^15 — solve_batch routes anything larger to
+    the host spec solver) and widen to f64 on device before any
+    arithmetic. Returns (coef [B,P], rvaf [B,P], iters)."""
     contrib = contrib16.astype(jnp.float64)
     counts = counts32.astype(jnp.float64)
 
@@ -107,31 +109,57 @@ def solve_batch(problems, pad_paths: int | None = None,
     target's problems). Returns a list of (coef, rvaf) float64 arrays
     trimmed to each problem's real path count.
     """
-    from ..models.quant import build_contrib
+    from ..models.quant import build_contrib, lstsq_fit, ratio_of, \
+        refine_fit
 
     if not problems:
         return []
-    n_p = [len(paths) for paths, _ in problems]
-    n_n = [len(counts) for _, counts in problems]
+
+    # the narrowed encodings are exact only within their ranges: float32
+    # holds integers exactly below 2^24, int16 occurrence counts below
+    # 2^15. A problem outside either range (a k-mer counted > 16.7M
+    # times, or one path revisiting a node > 32767 times) routes through
+    # the host spec solver instead of being silently perturbed.
+    built = []
+    host_ix = set()
+    for b, (paths, cnt) in enumerate(problems):
+        cb = build_contrib(paths, len(cnt))
+        built.append(cb)
+        if (len(cnt) and np.max(cnt) >= 2 ** 24) or \
+                (cb.size and cb.max() >= 2 ** 15):
+            host_ix.add(b)
+
+    out: list = [None] * len(problems)
+    for b in host_ix:
+        cf32 = np.asarray(problems[b][1], dtype=np.float32)
+        coef_h = refine_fit(built[b], cf32, lstsq_fit(built[b], cf32))
+        out[b] = (np.asarray(coef_h, np.float64),
+                  np.asarray(ratio_of(coef_h), np.float64))
+    dev_ix = [b for b in range(len(problems)) if b not in host_ix]
+    if not dev_ix:
+        return out
+
+    n_p = [len(problems[b][0]) for b in dev_ix]
+    n_n = [len(problems[b][1]) for b in dev_ix]
     P = pad_paths or int(2 ** np.ceil(np.log2(max(max(n_p), 2))))
     N = pad_kmers or int(2 ** np.ceil(np.log2(max(max(n_n), 2))))
     # batch padded to a power of two for stable compile shapes; padding
     # problems are all-zero (zero gradient -> frozen after one step)
-    B = int(2 ** np.ceil(np.log2(max(len(problems), 2))))
+    B = int(2 ** np.ceil(np.log2(max(len(dev_ix), 2))))
 
     contrib = np.zeros((B, N, P), dtype=np.int16)
     counts = np.zeros((B, N), dtype=np.float32)
     coef0 = np.zeros((B, P), dtype=np.float64)
-    n_n = n_n + [1] * (B - len(problems))
-    for b, (paths, cnt) in enumerate(problems):
-        cb = build_contrib(paths, n_n[b])
-        cf32 = np.asarray(cnt, dtype=np.float32)
-        contrib[b, :n_n[b], :n_p[b]] = cb
-        counts[b, :n_n[b]] = cf32  # spec quantifies float32 counts
+    n_n = n_n + [1] * (B - len(dev_ix))
+    for i, b in enumerate(dev_ix):
+        cb = built[b]
+        cf32 = np.asarray(problems[b][1], dtype=np.float32)
+        contrib[i, :n_n[i], :n_p[i]] = cb
+        counts[i, :n_n[i]] = cf32  # spec quantifies float32 counts
         # the spec's trajectory start: unconstrained lstsq, then clamp
         start = np.linalg.lstsq(cb, cf32, rcond=None)[0]
         start[start < 0] = 0
-        coef0[b, :n_p[b]] = start
+        coef0[i, :n_p[i]] = start
 
     with jax.enable_x64():
         coef, rvaf, _iters = _refine_kernel(
@@ -139,5 +167,6 @@ def solve_batch(problems, pad_paths: int | None = None,
             jnp.asarray(np.array(n_n, dtype=np.float64)))
         coef = np.asarray(coef, dtype=np.float64)
         rvaf = np.asarray(rvaf, dtype=np.float64)
-    return [(coef[b, :n_p[b]], rvaf[b, :n_p[b]])
-            for b in range(len(problems))]
+    for i, b in enumerate(dev_ix):
+        out[b] = (coef[i, :n_p[i]], rvaf[i, :n_p[i]])
+    return out

@@ -118,6 +118,11 @@ def _pack_bucket(sweeps, n_pad, W, uniq):
     return flat.reshape(B, n_pad, W)
 
 
+def _host_sweeps(g):
+    return (g._sweep(g.first_node, g.succ_ptr, g.succ_ids, g.succ_w),
+            g._sweep(g.last_node, g.pred_ptr, g.pred_ids, g.pred_w))
+
+
 def batched_sweeps(graphs):
     """Run before/after sweeps for a list of frozen OverlapGraphs in
     size-bucketed single-dispatch device sweeps; returns
@@ -126,68 +131,69 @@ def batched_sweeps(graphs):
 
     out = [None] * len(graphs)
     # sweep rows: (graph_idx, direction); both directions of one graph
-    # ride the same batch
-    buckets: dict[tuple[int, int], list[int]] = {}
+    # ride the same batch. Per-graph palettes are computed BEFORE any
+    # grouping, so a single >PALETTE-weight outlier falls back alone
+    # instead of dragging its whole bucket to the host sweep.
+    eligible = []  # (gi, n_pad, W, uniq_weights)
     for gi, g in enumerate(graphs):
         deg_f = int((g.succ_ptr[1:] - g.succ_ptr[:-1]).max()) if g.n else 0
         deg_r = int((g.pred_ptr[1:] - g.pred_ptr[:-1]).max()) if g.n else 0
-        if g.n > MAX_DENSE_NODES or max(deg_f, deg_r) > MAX_WIDTH:
-            log.info("pathgraph: graph (n=%d deg=%d) exceeds the device "
-                     "formulation, host sweep", g.n, max(deg_f, deg_r))
-            out[gi] = (
-                g._sweep(g.first_node, g.succ_ptr, g.succ_ids, g.succ_w),
-                g._sweep(g.last_node, g.pred_ptr, g.pred_ids, g.pred_w))
+        uniq_g = np.unique(g.succ_w) if len(g.succ_w) \
+            else np.empty(0, np.float32)
+        if g.n > MAX_DENSE_NODES or max(deg_f, deg_r) > MAX_WIDTH \
+                or len(uniq_g) > PALETTE:
+            log.info("pathgraph: graph (n=%d deg=%d weights=%d) exceeds "
+                     "the device formulation, host sweep",
+                     g.n, max(deg_f, deg_r), len(uniq_g))
+            out[gi] = _host_sweeps(graphs[gi])
             continue
         n_pad = max(128, 1 << int(np.ceil(np.log2(max(g.n, 2)))))
         W = max(4, 1 << int(np.ceil(np.log2(max(deg_f, deg_r, 2)))))
-        buckets.setdefault((n_pad, W), []).append(gi)
+        eligible.append((gi, n_pad, W, uniq_g))
 
-    # a catalog's graphs span few size classes; when the largest class
-    # is small, one merged dispatch beats several sequential ones (the
-    # extra lockstep iterations on small graphs are cheaper than the
-    # per-dispatch link latency)
-    if buckets and max(np_ for np_, _ in buckets) <= 512:
-        n_max = max(np_ for np_, _ in buckets)
-        w_max = max(w_ for _, w_ in buckets)
-        merged = [gi for idxs in buckets.values() for gi in idxs]
-        buckets = {(n_max, w_max): sorted(merged)}
+    # Grouping: one dispatch per (lane width, size class, palette
+    # group). Merging across W would inflate every graph's lanes to the
+    # widest member (one W=64 graph would cost a W=4 catalog 16x), so
+    # groups never mix W. Within a W, small graphs (n_pad <= 512) merge
+    # into one batch (extra lockstep iterations on small graphs are
+    # cheaper than per-dispatch link latency); big graphs keep their
+    # n_pad class. A group's palette union stays <= PALETTE — graphs
+    # that don't fit the current union greedily open a new group.
+    grouped: dict[tuple, list[list]] = {}
+    for gi, n_pad, W, uniq_g in eligible:
+        size_key = n_pad if n_pad > 512 else 0  # 0 = merged small class
+        subs = grouped.setdefault((W, size_key), [])
+        for sub in subs:
+            union = np.union1d(sub[2], uniq_g)
+            if len(union) <= PALETTE:
+                sub[0].append(gi)
+                sub[1] = max(sub[1], n_pad)
+                sub[2] = union
+                break
+        else:
+            subs.append([[gi], n_pad, uniq_g])
 
     # queue every dispatch before the first readback: JAX dispatch is
     # async, so device compute and host->device staging pipeline
     pending = []
-    for (n_pad, W), idxs in buckets.items():
-        # one weight palette per bucket: real graphs use {1.0, 0.01}
-        # (km/utils/Graph.py:41-61,133-151); >PALETTE distinct weights
-        # across a bucket routes the whole bucket to the host sweep
-        uniq = np.unique(np.concatenate(
-            [graphs[gi].succ_w for gi in idxs]
-            or [np.empty(0, np.float32)]))
-        if len(uniq) > PALETTE:
-            log.info("pathgraph: %d distinct edge weights exceed the "
-                     "%d-entry palette, host sweeps", len(uniq), PALETTE)
+    for (W, _size_key), subs in sorted(grouped.items()):
+        for idxs, n_pad, uniq in subs:
+            pal = np.ones(PALETTE, np.float32)
+            pal[:len(uniq)] = uniq
+            sweeps, starts = [], []
             for gi in idxs:
                 g = graphs[gi]
-                out[gi] = (
-                    g._sweep(g.first_node, g.succ_ptr, g.succ_ids,
-                             g.succ_w),
-                    g._sweep(g.last_node, g.pred_ptr, g.pred_ids,
-                             g.pred_w))
-            continue
-        pal = np.ones(PALETTE, np.float32)
-        pal[:len(uniq)] = uniq
-        sweeps, starts = [], []
-        for gi in idxs:
-            g = graphs[gi]
-            sweeps.append((g.n, g.succ_ptr, g.succ_ids, g.succ_w))
-            sweeps.append((g.n, g.pred_ptr, g.pred_ids, g.pred_w))
-            starts.extend((g.first_node, g.last_node))
-        packed = _pack_bucket(sweeps, n_pad, W, uniq)
-        B = packed.shape[0]
-        palette = np.broadcast_to(pal, (B, PALETTE))
-        starts = np.asarray(starts + [0] * (B - len(starts)), np.int32)
-        pending.append((idxs, sweep_kernel(
-            jnp.asarray(packed), jnp.asarray(np.ascontiguousarray(palette)),
-            jnp.asarray(starts), n=n_pad, W=W)))
+                sweeps.append((g.n, g.succ_ptr, g.succ_ids, g.succ_w))
+                sweeps.append((g.n, g.pred_ptr, g.pred_ids, g.pred_w))
+                starts.extend((g.first_node, g.last_node))
+            packed = _pack_bucket(sweeps, n_pad, W, uniq)
+            B = packed.shape[0]
+            palette = np.broadcast_to(pal, (B, PALETTE))
+            starts = np.asarray(starts + [0] * (B - len(starts)), np.int32)
+            pending.append((idxs, sweep_kernel(
+                jnp.asarray(packed),
+                jnp.asarray(np.ascontiguousarray(palette)),
+                jnp.asarray(starts), n=n_pad, W=W)))
 
     for idxs, trees_dev in pending:
         trees = np.asarray(trees_dev)

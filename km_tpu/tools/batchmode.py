@@ -10,15 +10,28 @@ Either way the rows are byte-identical to sequential mode (asserted in
 tests/test_batch_pipeline.py). Replaces the reference's
 one-process-per-target shell loop (reference:
 example/run_leucegene.sh:29-35).
+
+Device health probe: a remote/tunneled accelerator can hang
+indefinitely at session claim or first dispatch (observed: a client
+killed mid-session wedges subsequent claims for minutes). Before
+promoting the table to the device, a tiny dispatch runs in a daemon
+thread under a deadline (KM_TPU_BATCH_DEADLINE seconds, default 60;
+0 skips the probe); on timeout or error the pipeline falls back to the
+host batch path — sub-second on catalog workloads — instead of
+blocking forever. The host path imports no JAX, so a wedged tunnel
+cannot stall it.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import threading
 
 from ..models.batch import run_catalog
 from ..utils import profiling
+
+DEFAULT_PROBE_DEADLINE_S = 60.0
 
 
 def _device_backend() -> bool:
@@ -32,8 +45,52 @@ def _device_backend() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def emit_batched(targets, table, args) -> None:
-    if _device_backend():
+def _default_probe():
+    """One tiny end-to-end device dispatch (claims the backend session,
+    compiles a trivial program, executes, reads back)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.devices()
+    return float(jnp.ones(8).sum())
+
+
+def probe_device(deadline_s: float, work=_default_probe) -> bool:
+    """Run ``work`` in a daemon thread; True iff it returned (without
+    raising) within ``deadline_s``. A hung probe thread is abandoned —
+    it blocks on the wedged backend and dies with the process."""
+    result: list[bool] = []
+
+    def runner():
+        try:
+            work()
+            result.append(True)
+        except Exception:
+            result.append(False)
+
+    t = threading.Thread(target=runner, daemon=True,
+                         name="km-tpu-device-probe")
+    t.start()
+    t.join(deadline_s)
+    return bool(result and result[0])
+
+
+def emit_batched(targets, table, args, probe=_default_probe) -> None:
+    use_device = _device_backend()
+    forced = os.environ.get("KM_TPU_BATCH_DEVICE") not in (None, "", "0",
+                                                           "false")
+    if use_device and not forced:
+        deadline = float(os.environ.get("KM_TPU_BATCH_DEADLINE",
+                                        DEFAULT_PROBE_DEADLINE_S))
+        if deadline > 0 and not probe_device(deadline, probe):
+            sys.stderr.write(
+                "VERBOSE:km-tpu: device backend unresponsive after "
+                "%.0fs; falling back to the host batch pipeline "
+                "(set KM_TPU_BATCH_DEVICE=1 to wait indefinitely)\n"
+                % deadline)
+            use_device = False
+
+    if use_device:
         from ..ops.device_table import DeviceCountTable
         from ..utils import jaxcache
 

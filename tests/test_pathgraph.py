@@ -91,3 +91,73 @@ def test_random_graphs_trees_equal(seed):
         hb, ha = _host_trees(g)
         assert np.array_equal(hb, db), (g.n, np.where(hb != db))
         assert np.array_equal(ha, da), (g.n, np.where(ha != da))
+
+
+def _random_graph(rng, n_real, weights, max_extra_deg=5):
+    g = OverlapGraph.__new__(OverlapGraph)
+    g.n_real = n_real
+    g.n = n_real + 2
+    g.first_node = n_real
+    g.last_node = n_real + 1
+    g.k = 31
+    g._src, g._dst, g._w = [], [], []
+    n_edges = int(rng.integers(1, max_extra_deg * g.n))
+    for _e in range(n_edges):
+        i = int(rng.integers(0, g.n))
+        j = int(rng.integers(0, g.n))
+        if i == j:
+            continue
+        g.set_edge(i, j, float(rng.choice(weights)))
+    g.freeze()
+    return g
+
+
+def test_outlier_graphs_do_not_degrade_neighbors():
+    """A >PALETTE-weight graph and a wide-degree graph in the same batch
+    fall back alone; every other graph still returns exact trees (the
+    round-3 advisor's merged-dispatch finding)."""
+    from km_tpu.ops import pathgraph
+
+    rng = np.random.default_rng(7)
+    normal = [_random_graph(rng, int(rng.integers(5, 60)), [1.0, 0.01])
+              for _ in range(6)]
+
+    # outlier 1: more distinct edge weights than the palette holds
+    many_w = [float(w) for w in np.linspace(0.01, 2.0,
+                                            pathgraph.PALETTE + 4)]
+    weird = _random_graph(rng, 40, many_w)
+
+    # outlier 2: one node with out-degree above MAX_WIDTH
+    wide = OverlapGraph.__new__(OverlapGraph)
+    wide.n_real = pathgraph.MAX_WIDTH + 10
+    wide.n = wide.n_real + 2
+    wide.first_node = wide.n_real
+    wide.last_node = wide.n_real + 1
+    wide.k = 31
+    wide._src, wide._dst, wide._w = [], [], []
+    for j in range(pathgraph.MAX_WIDTH + 5):
+        wide.set_edge(wide.first_node, j, 1.0)
+        wide.set_edge(j, wide.last_node, 1.0)
+    wide.freeze()
+
+    graphs = normal[:3] + [weird] + normal[3:] + [wide]
+    dev = batched_sweeps(graphs)
+    for g, (db, da) in zip(graphs, dev):
+        hb, ha = _host_trees(g)
+        assert np.array_equal(hb, db)
+        assert np.array_equal(ha, da)
+
+
+def test_mixed_width_graphs_group_by_lane_width():
+    """Graphs of different max degree still return exact trees when
+    batched together (grouping never mixes lane widths)."""
+    rng = np.random.default_rng(11)
+    graphs = [_random_graph(rng, 30, [1.0, 0.01], max_extra_deg=2),
+              _random_graph(rng, 30, [1.0, 0.01], max_extra_deg=12),
+              _random_graph(rng, 500, [1.0, 0.01], max_extra_deg=2),
+              _random_graph(rng, 700, [1.0, 0.01], max_extra_deg=2)]
+    dev = batched_sweeps(graphs)
+    for g, (db, da) in zip(graphs, dev):
+        hb, ha = _host_trees(g)
+        assert np.array_equal(hb, db)
+        assert np.array_equal(ha, da)
