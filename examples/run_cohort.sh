@@ -5,6 +5,16 @@
 # all targets walked in one batched invocation per sample.
 #
 # Usage: run_cohort.sh <catalog_dir> <out_dir> <sample1.fastq[.gz]> [...]
+#
+# The one-command equivalent (counts raw-read samples on the local
+# device mesh — all_to_all-sharded when more than one chip is attached
+# — and, under jax.distributed, splits the sample list across the hosts
+# of a pod slice):
+#
+#   km-tpu cohort -t "$CATALOG" -o "$OUT" sample1.fastq sample2.jf ...
+#
+# The step-by-step pipeline below shows the same flow through the
+# individual subcommands.
 set -euo pipefail
 
 CATALOG=${1:?catalog dir (e.g. data/catalog/GRCh38)}

@@ -138,3 +138,54 @@ def add_count_args(parser):
     parser.add_argument(
         "reads_fn", nargs="+",
         help="FASTQ/FASTA read files (optionally .gz)")
+
+
+def add_cohort_args(parser):
+    parser.add_argument(
+        "-t", "--targets", required=True,
+        help="Target FASTA file or catalog directory (every target runs "
+             "against every sample).")
+    parser.add_argument(
+        "-o", "--outdir", required=True,
+        help="Output directory; one <outdir>/<sample>/<target>.tsv per "
+             "pair (the reference recipe's per-target .xls files).")
+    # find_mutation tuning (km defaults)
+    parser.add_argument("-c", "--count", default=5, type=int,
+                        help="Minimum occurence needed for exploration "
+                             "of alternative (default: 5)")
+    parser.add_argument("-p", "--ratio", default=0.05, type=float,
+                        help="Minimum occurence ratio (default: 0.05)")
+    parser.add_argument("-s", "--steps", default=500, type=int,
+                        help="Maximum walk steps (default: 500)")
+    parser.add_argument("-b", "--branchs", default=10, type=int,
+                        help="Maximum branches (default: 10)")
+    parser.add_argument("-n", "--nodes", default=10000, type=int,
+                        help="Maximum graph nodes (default: 10000)")
+    # find_report options (km defaults)
+    parser.add_argument("-i", dest="info", default="vs_ref", type=str,
+                        help="Filter on info column (default: vs_ref)")
+    parser.add_argument("-m", dest="min_cov", default=1, type=int,
+                        help="Min coverage allowed (default: 1)")
+    parser.add_argument("-e", "--exclu", dest="exclu", default="",
+                        type=str,
+                        help="Count table of k-mers that create false "
+                             "positives")
+    parser.add_argument("-f", "--format", dest="format",
+                        choices=["vcf", "table"],
+                        help="Report format (default: 16-column TSV)")
+    # counting options for samples given as raw reads
+    parser.add_argument("-k", "--kmer-size", dest="k", default=31,
+                        type=int, help="k-mer length for raw-read "
+                                       "samples (default: 31)")
+    parser.add_argument("-L", "--lower-count", dest="lower_count",
+                        default=2, type=int,
+                        help="Drop k-mers below this count when counting "
+                             "raw reads (default: 2)")
+    parser.add_argument("-Q", "--min-quality", dest="min_quality",
+                        default=None,
+                        help="Minimum base quality for raw-read samples")
+    parser.add_argument(
+        "samples", nargs="+",
+        help="Sample count tables (.jf/.npz) or raw read files "
+             "(FASTQ/FASTA, optionally .gz); hosts of a multi-host "
+             "slice split this list.")

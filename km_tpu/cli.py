@@ -2,7 +2,10 @@
 
 Subcommands mirror km's (find_mutation, find_report, linear_kmin,
 min_cov; reference: km/km.py:17-67) plus ``count`` — the on-device FASTQ
-k-mer counter that replaces the external ``jellyfish count`` step.
+k-mer counter that replaces the external ``jellyfish count`` step — and
+``cohort`` — samples x targets across the device mesh / pod slice,
+replacing the reference's per-sample shell loop
+(reference: example/run_leucegene.sh:29-35).
 """
 
 from __future__ import annotations
@@ -54,6 +57,15 @@ def main(argv=None):
     from .tools.count import main_count
     sub.set_defaults(func=main_count)
     schemas.add_count_args(sub)
+
+    sub = subparsers.add_parser(
+        "cohort",
+        help="Run every target against every sample across the device "
+             "mesh / pod slice (replaces the per-sample shell loop of "
+             "the reference cohort recipe).")
+    from .tools.cohort import main_cohort
+    sub.set_defaults(func=main_cohort)
+    schemas.add_cohort_args(sub)
 
     if argv is None:
         argv = sys.argv[1:]

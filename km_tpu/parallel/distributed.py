@@ -35,7 +35,10 @@ def initialize(coordinator_address: str | None = None,
                 or "COORDINATOR_ADDRESS" in os.environ)
     if not explicit:
         from jax._src import xla_bridge
-        single_env = os.environ.get("TPU_WORKER_HOSTNAMES", "") == ""
+        workers = [h for h in
+                   os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
+                   if h.strip()]
+        single_env = len(workers) <= 1  # zero or one worker: nothing to do
         if single_env or xla_bridge.backends_are_initialized():
             # Nothing to coordinate (single host), or the backend is
             # already live (initialize must precede any JAX call) — a

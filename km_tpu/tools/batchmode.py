@@ -75,7 +75,10 @@ def probe_device(deadline_s: float, work=_default_probe) -> bool:
     return bool(result and result[0])
 
 
-def emit_batched(targets, table, args, probe=_default_probe) -> None:
+def prepare_table(table, probe=_default_probe):
+    """Promote a host table to the device when a healthy accelerator
+    backend is present (see module note); returns the table to run the
+    batched pipeline with."""
     use_device = _device_backend()
     forced = os.environ.get("KM_TPU_BATCH_DEVICE") not in (None, "", "0",
                                                            "false")
@@ -97,7 +100,11 @@ def emit_batched(targets, table, args, probe=_default_probe) -> None:
         jaxcache.enable()
         with profiling.phase("table_to_device"):
             table = DeviceCountTable.from_host(table)
+    return table
 
+
+def emit_batched(targets, table, args, probe=_default_probe) -> None:
+    table = prepare_table(table, probe=probe)
     with profiling.phase("batch_pipeline"):
         row_lists = run_catalog(
             targets, table, ratio=args.ratio, count=args.count,

@@ -31,7 +31,23 @@ def main_count(args, argparser):
                     if os.path.exists(p))
         if total < 8 << 20:
             use_device = False
+    n_devices = 0
     if use_device:
+        import jax
+
+        n_devices = len(jax.devices())
+    if use_device and n_devices > 1:
+        # multi-device mesh: every device counts a read shard and the
+        # (key, count) runs are routed to their owner key range with
+        # one all_to_all per step (parallel.sharded_table)
+        from ..parallel.sharded_table import make_mesh, sharded_count
+
+        mesh = make_mesh()
+        sys.stderr.write("counting on a %d-device mesh\n" % n_devices)
+        keys, counts = sharded_count(
+            batches, mesh, args.k, canonical=args.canonical,
+            min_count=args.min_count)
+    elif use_device:
         # streaming accumulator: counts live on device, one readback at
         # the end; on capacity overflow re-read the files with a larger
         # table (counting is stateless, so a retry is exact)
