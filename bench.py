@@ -127,25 +127,36 @@ def stage_counting(iters: int = 8, chunk: int = 1 << 24):
     codes = jnp.asarray(rng.integers(0, 4, chunk, dtype=np.uint8))
     valid = jnp.ones(chunk, dtype=bool)
 
-    out = step(codes, valid, jnp.int32(0))  # compile + warm up
+    compiled = step.lower(codes, valid, jnp.int32(0)).compile()
+    out = compiled(codes, valid, jnp.int32(0))  # warm up + load
     _ = int(out[0])
 
     n_windows = chunk - K + 1
     t0 = time.perf_counter()
-    outs = [step(codes, valid, jnp.int32(100 + i)) for i in range(iters)]
+    outs = [compiled(codes, valid, jnp.int32(100 + i))
+            for i in range(iters)]
     total = sum(int(o[0]) for o in outs)  # forces every execution
     dt = time.perf_counter() - t0
     assert total == n_windows * iters
     rate = n_windows * iters / dt
-    # Roofline context: the sort phase bounds the kernel. Per k-mer the
-    # radix partition + bitonic-merge pipeline moves ~10 passes over
-    # (8 B key + 4 B payload) = ~120 B of HBM traffic (see
-    # km_tpu/ops/count.py); implied traffic / chip HBM bandwidth places
-    # the number on the roofline.
-    sort_traffic_bytes_per_kmer = 120.0
-    frac = rate * sort_traffic_bytes_per_kmer / V5E_HBM_BYTES_PER_S
-    return {"value": round(rate, 1),
-            "count_sort_traffic_frac_hbm_roofline": round(frac, 3)}
+    result = {"value": round(rate, 1)}
+    # Roofline context: the sort phase bounds the kernel (HBM traffic,
+    # not FLOPs). XLA's own cost model reports the program's bytes
+    # accessed; traffic/k-mer x achieved rate / chip HBM bandwidth
+    # places the headline on the roofline.
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        bytes_accessed = float(ca.get("bytes accessed", 0.0))
+        if bytes_accessed > 0:
+            bpk = bytes_accessed / n_windows
+            frac = rate * bpk / V5E_HBM_BYTES_PER_S
+            result["count_hbm_bytes_per_kmer"] = round(bpk, 1)
+            result["count_hbm_traffic_frac_roofline"] = round(frac, 3)
+    except Exception:
+        pass
+    return result
 
 
 def stage_devwalk(n_targets: int = 400):
