@@ -27,9 +27,11 @@ def enable(cache_dir: str | None = None) -> None:
             "KM_TPU_JAX_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "km_tpu_xla"))
     os.makedirs(cache_dir, exist_ok=True)
+    min_secs = float(os.environ.get("KM_TPU_JAX_CACHE_MIN_S", "1.0"))
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_secs)
     except Exception:
         return  # older jax: cache unavailable, compile as usual
     try:
