@@ -142,3 +142,24 @@ def test_count_cli_sharded_multidevice(tmp_path):
     assert np.array_equal(np.asarray(table.keys), host_keys)
     assert np.array_equal(np.asarray(table.counts, np.int64),
                           np.asarray(host_counts, np.int64))
+
+
+def test_local_read_shards_partitions_by_host(monkeypatch):
+    """Host i of P takes samples i, i+P, ... — the multi-host analog of
+    the reference's per-sample fan-out (example/run_leucegene.sh)."""
+    import jax
+
+    from km_tpu.parallel import distributed
+
+    samples = ["s%d" % i for i in range(7)]
+    monkeypatch.setattr(jax, "process_count", lambda: 3)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert distributed.local_read_shards(samples) == ["s1", "s4"]
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    assert distributed.local_read_shards(samples) == ["s0", "s3", "s6"]
+    # every sample lands on exactly one host
+    got = []
+    for p in range(3):
+        monkeypatch.setattr(jax, "process_index", lambda p=p: p)
+        got += distributed.local_read_shards(samples)
+    assert sorted(got) == samples
