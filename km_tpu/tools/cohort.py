@@ -100,7 +100,6 @@ def main_cohort(args, argparser):
 
     seq_files = expand_target_files([args.targets])
     targets, paths = [], []
-    k = None
     for seq_f in seq_files:
         name, _ = os.path.splitext(os.path.basename(seq_f))
         seqs, _attrs = read_target(seq_f)
@@ -116,8 +115,6 @@ def main_cohort(args, argparser):
 
     for sample in my_samples:
         table = _table_for_sample(sample, args)
-        if k is None:
-            k = table.k
         sample_name = os.path.splitext(os.path.basename(sample))[0]
         outdir = os.path.join(args.outdir, sample_name)
         os.makedirs(outdir, exist_ok=True)

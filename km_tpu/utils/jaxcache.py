@@ -1,9 +1,14 @@
 """Persistent XLA compilation cache.
 
 The walk/count kernels take minutes to compile on a TPU backend but are
-stable across runs; caching them on disk makes every process after the
-first start in seconds. Call enable() before the first jit execution
-(bench.py and the CLI do).
+stable across runs; caching them on disk removes the compile cost from
+every later process (measured: 400-target device pipeline cold in a
+fresh process ~8 s with a warm cache and healthy device link vs minutes
+of remote compiles without — docs/COLDSTART.md has the full breakdown,
+including the wedged-link stalls the cache can NOT fix). Cross-process
+and cross-entry-point hits are regression-tested in
+tests/test_cache_crossprocess.py. Call enable() before the first jit
+execution (bench.py and the CLI do).
 
 The cache key is computed from the serialized MLIR module, which embeds
 the SOURCE LOCATIONS of every traced frame — including the entry-point
