@@ -208,23 +208,40 @@ def stage_e2e(target_mb: int = 64):
                           "/tmp/km_tpu_bench_ref_%dmb.fastq" % target_mb)
     _ensure_synthetic_fastq(path, target_mb)
 
+    # default: chunked device counting + native host k-way merge. The
+    # fused stream-accumulator kernel (count_batches_device_stream, the
+    # CLI default) is the better design on a directly-attached chip,
+    # but its single large program's remote compile was observed to
+    # hang >50 min on this tunneled link (one pending RPC, zero
+    # progress), while the chunked path's program compiles like the
+    # headline counting kernel. KM_TPU_E2E_MODE=stream opts back in.
+    mode = os.environ.get("KM_TPU_E2E_MODE", "chunked")
     t0 = time.perf_counter()
     batches = read_batches([path], min_quality="+")
-    try:
-        keys, counts = opcount.count_batches_device_stream(
-            batches, K, canonical=True, min_count=1)
-    except opcount.CountCapacityOverflow:
-        # stateless retry with room to spare (the fixture's 2 MB
-        # reference yields ~2M distinct k-mers; default capacity covers
-        # it, this guards KM_TPU_BENCH_FASTQ overrides)
-        batches = read_batches([path], min_quality="+")
-        keys, counts = opcount.count_batches_device_stream(
-            batches, K, canonical=True, min_count=1, capacity=1 << 26)
+    if mode == "chunked":
+        # per-chunk dispatch + native host k-way merge: reuses the
+        # already-compiled chunk kernel (no device accumulator program),
+        # for links where the big fused stream kernel isn't warm yet
+        keys, counts = opcount.count_batches_device(
+            batches, K, canonical=True, min_count=1, chunk=1 << 24,
+            use_pallas_sort=False)
+    else:
+        try:
+            keys, counts = opcount.count_batches_device_stream(
+                batches, K, canonical=True, min_count=1)
+        except opcount.CountCapacityOverflow:
+            # stateless retry with room to spare (the fixture's 2 MB
+            # reference yields ~2M distinct k-mers; default capacity
+            # covers it, this guards KM_TPU_BENCH_FASTQ overrides)
+            batches = read_batches([path], min_quality="+")
+            keys, counts = opcount.count_batches_device_stream(
+                batches, K, canonical=True, min_count=1,
+                capacity=1 << 26)
     dt = time.perf_counter() - t0
     assert len(keys) > 0
     n_windows = int(np.asarray(counts, dtype=np.int64).sum())
     return {"count_e2e_file_kmers_per_s": round(n_windows / dt, 1),
-            "count_e2e_file_mb": target_mb}
+            "count_e2e_file_mb": target_mb, "count_e2e_mode": mode}
 
 
 def _ensure_synthetic_fastq(path: str, target_mb: int,

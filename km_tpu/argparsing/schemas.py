@@ -136,6 +136,12 @@ def add_count_args(parser):
         "--device", choices=["auto", "tpu", "cpu", "host"], default="auto",
         help="Where to run counting (host = pure numpy)")
     parser.add_argument(
+        "--mode", choices=["auto", "stream", "chunked"], default="auto",
+        help="Device counting strategy: 'stream' keeps one accumulator "
+             "on-device (single readback), 'chunked' reads back "
+             "per-chunk runs and k-way-merges them natively on the "
+             "host; 'auto' picks per backend")
+    parser.add_argument(
         "reads_fn", nargs="+",
         help="FASTQ/FASTA read files (optionally .gz)")
 

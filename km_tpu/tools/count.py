@@ -48,23 +48,39 @@ def main_count(args, argparser):
             batches, mesh, args.k, canonical=args.canonical,
             min_count=args.min_count)
     elif use_device:
-        # streaming accumulator: counts live on device, one readback at
-        # the end; on capacity overflow re-read the files with a larger
-        # table (counting is stateless, so a retry is exact)
-        capacity = 1 << 22
-        while True:
-            try:
-                keys, counts = opcount.count_batches_device_stream(
-                    batches, args.k, canonical=args.canonical,
-                    min_count=args.min_count, capacity=capacity)
-                break
-            except opcount.CountCapacityOverflow:
-                capacity *= 4
-                sys.stderr.write(
-                    "count table capacity exceeded; retrying with "
-                    "%d slots\n" % capacity)
-                batches = read_batches(args.reads_fn,
-                                       min_quality=args.min_quality)
+        mode = getattr(args, "mode", "auto")
+        if mode == "auto":
+            # the fused stream-accumulator program is the better design
+            # on a directly-attached chip (one readback total), but on
+            # the experimental tunneled backend its single large
+            # program's remote compile has been observed to hang; the
+            # chunked path (per-chunk dispatch + native host k-way
+            # merge, exact same counts) compiles like any other kernel
+            mode = ("chunked" if jax.default_backend() == "axon"
+                    else "stream")
+        if mode == "chunked":
+            keys, counts = opcount.count_batches_device(
+                batches, args.k, canonical=args.canonical,
+                min_count=args.min_count)
+        else:
+            # streaming accumulator: counts live on device, one
+            # readback at the end; on capacity overflow re-read the
+            # files with a larger table (counting is stateless, so a
+            # retry is exact)
+            capacity = 1 << 22
+            while True:
+                try:
+                    keys, counts = opcount.count_batches_device_stream(
+                        batches, args.k, canonical=args.canonical,
+                        min_count=args.min_count, capacity=capacity)
+                    break
+                except opcount.CountCapacityOverflow:
+                    capacity *= 4
+                    sys.stderr.write(
+                        "count table capacity exceeded; retrying with "
+                        "%d slots\n" % capacity)
+                    batches = read_batches(args.reads_fn,
+                                           min_quality=args.min_quality)
     else:
         keys, counts = opcount.count_batches_host(
             batches, args.k, canonical=args.canonical,
