@@ -229,12 +229,10 @@ def stage_e2e(target_mb: int = 64):
     t0 = time.perf_counter()
     batches = read_batches([path], min_quality="+")
     if mode == "chunked":
-        # per-chunk dispatch + native host k-way merge: reuses the
-        # already-compiled chunk kernel (no device accumulator program),
-        # for links where the big fused stream kernel isn't warm yet
-        keys, counts = opcount.count_batches_device(
-            batches, K, canonical=True, min_count=1, chunk=1 << 24,
-            use_pallas_sort=False)
+        # per-chunk dispatch with device-side run compaction (only the
+        # distinct runs cross the link) + native host k-way merge
+        keys, counts = opcount.count_batches_device_compact(
+            batches, K, canonical=True, min_count=1, chunk=1 << 24)
     else:
         try:
             keys, counts = opcount.count_batches_device_stream(

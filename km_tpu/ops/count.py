@@ -493,6 +493,112 @@ def _jitted_count_chunk(k: int, canonical: bool, use_pallas_sort: bool,
     return fn
 
 
+def _jitted_count_compact(k: int, canonical: bool, n: int):
+    """One dispatch: unpack a 2-bit-packed chunk, count it, and compact
+    the surviving runs to the front (stable flag-sort keeps them in key
+    order). Returns (hi, lo, cnt, n_runs); the host then transfers ONLY
+    the first n_runs entries — on a bandwidth-bound link the readback
+    shrinks from the full window count to the distinct-run count."""
+    key = ("compact", k, canonical, n)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        import jax
+
+        def run(packed, validbits):
+            jnp = _jnp()
+            codes, valid = unpack2_device(packed, validbits, n)
+            hi, lo, cnt = count_chunk_device(codes, valid, k,
+                                             canonical=canonical)
+            alive = cnt > 0
+            _, chi, clo, ccnt = jax.lax.sort(
+                ((~alive).astype(jnp.int32), hi, lo, cnt), num_keys=1)
+            return chi, clo, ccnt, alive.sum()
+
+        fn = jax.jit(run)
+        _JIT_CACHE[key] = fn
+    return fn
+
+
+def count_batches_device_compact(batches, k: int, canonical: bool = True,
+                                 min_count: int = 1, chunk: int = 1 << 24):
+    """File->table counting tuned for a bandwidth-bound (tunneled)
+    link: 2-bit-packed upload (0.375 B/base), one fused dispatch per
+    chunk, device-side run compaction, and a readback of only the
+    distinct runs; chunks merge on the host (native k-way merge when
+    available). Counts are byte-identical to every other path."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import native
+
+    if chunk % 8 != 0:
+        raise ValueError("chunk must be a multiple of 8; got %d" % chunk)
+
+    fn = _jitted_count_compact(k, canonical, chunk)
+    runs: list[tuple[np.ndarray, np.ndarray]] = []
+    pending = []
+    slabs = _coalesce_batches(batches, k, 4 * chunk)
+    for codes, valid in chunk_stream(slabs, chunk, k):
+        packed, validbits = pack2_host(codes, valid)
+        pending.append(fn(jnp.asarray(packed), jnp.asarray(validbits)))
+        # keep a couple of dispatches in flight, then drain in order
+        if len(pending) >= 2:
+            runs.append(_drain_compact(pending.pop(0)))
+    while pending:
+        runs.append(_drain_compact(pending.pop(0)))
+
+    runs = [r for r in runs if len(r[0])]
+    if not runs:
+        return np.empty(0, np.uint64), np.empty(0, np.uint32)
+    if native.available():
+        acc_keys, acc_counts = native.merge_sorted_runs(runs)
+    else:
+        acc_keys, acc_counts = runs[0]
+        for rk, rc in runs[1:]:
+            acc_keys, acc_counts = merge_runs(acc_keys, acc_counts, rk, rc)
+    keep = acc_counts >= min_count
+    return acc_keys[keep], acc_counts[keep].astype(np.uint32)
+
+
+def _coalesce_batches(batches, k: int, min_len: int):
+    """Concatenate input batches into >= min_len slabs, separated by
+    k-1 invalid positions so no window spans two batches. Without this,
+    chunk_stream pads every (often small) batch to a full chunk and the
+    device counts mostly padding."""
+    sep_c = np.zeros(k - 1, np.uint8)
+    sep_v = np.zeros(k - 1, bool)
+    parts: list = []
+    total = 0
+    for codes, valid in batches:
+        if parts:
+            parts.append((sep_c, sep_v))
+            total += k - 1
+        parts.append((codes, valid))
+        total += len(codes)
+        if total >= min_len:
+            yield (np.concatenate([p[0] for p in parts]),
+                   np.concatenate([p[1] for p in parts]))
+            parts, total = [], 0
+    if parts:
+        yield (np.concatenate([p[0] for p in parts]),
+               np.concatenate([p[1] for p in parts]))
+
+
+def _drain_compact(out):
+    """(hi, lo, cnt, n_runs) device tuple -> host (keys, counts) sliced
+    to the real runs. The device-side slice length is padded to a power
+    of two: a raw [:n] would compile one tiny dynamic_slice program PER
+    DISTINCT n (seconds each through a remote-compile link); the <= 2x
+    extra transfer is far cheaper."""
+    chi, clo, ccnt, n_runs = out
+    n = int(n_runs)
+    m = min(chi.shape[0], max(64, 1 << max(n - 1, 1).bit_length()))
+    hi = np.asarray(chi[:m], dtype=np.uint64)[:n]
+    lo = np.asarray(clo[:m], dtype=np.uint64)[:n]
+    cnt = np.asarray(ccnt[:m]).astype(np.int64)[:n]
+    return (hi << np.uint64(32)) | lo, cnt
+
+
 def count_batches_device(batches, k: int, canonical: bool = True,
                          min_count: int = 1, chunk: int = 1 << 22,
                          use_pallas_sort: bool | None = None,

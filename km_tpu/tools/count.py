@@ -59,7 +59,7 @@ def main_count(args, argparser):
             mode = ("chunked" if jax.default_backend() == "axon"
                     else "stream")
         if mode == "chunked":
-            keys, counts = opcount.count_batches_device(
+            keys, counts = opcount.count_batches_device_compact(
                 batches, args.k, canonical=args.canonical,
                 min_count=args.min_count)
         else:

@@ -156,3 +156,31 @@ def test_stream_capacity_overflow_raises():
         assert e.capacity == 256
     else:
         raise AssertionError("expected CountCapacityOverflow")
+
+
+def test_compact_path_equals_host():
+    """count_batches_device_compact (2-bit upload, device compaction,
+    sliced readback) must produce the exact host table."""
+    import numpy as np
+
+    from km_tpu.ops import count as opcount
+
+    rng = np.random.default_rng(5)
+    n = 1 << 16
+    codes = rng.integers(0, 4, n, dtype=np.uint8)
+    valid = rng.random(n) > 0.02  # some broken positions
+    host = opcount.count_batches_host([(codes, valid)], 31,
+                                      canonical=True, min_count=1)
+    comp = opcount.count_batches_device_compact(
+        [(codes, valid)], 31, canonical=True, min_count=1,
+        chunk=1 << 14)  # force several chunks + host merge
+    assert np.array_equal(comp[0], host[0])
+    assert np.array_equal(np.asarray(comp[1], np.int64),
+                          np.asarray(host[1], np.int64))
+    # min_count filtering parity too
+    host2 = opcount.count_batches_host([(codes, valid)], 31,
+                                       canonical=True, min_count=2)
+    comp2 = opcount.count_batches_device_compact(
+        [(codes, valid)], 31, canonical=True, min_count=2,
+        chunk=1 << 14)
+    assert np.array_equal(comp2[0], host2[0])
