@@ -380,7 +380,10 @@ STAGE_PLAN = [
     ("golden", 90, False),
     ("hostwalk", 90, False),
     ("counting", 150, True),
-    ("devwalk", 180, True),
+    # the devwalk stage's cold executable loads swing 7-125 s with the
+    # link's mood; the deadline covers the slow tail plus the host
+    # reference rows
+    ("devwalk", 230, True),
     ("e2e", 150, True),
     ("sharded", 150, False),
 ]

@@ -20,7 +20,11 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 from ..ops import encode
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 class PathDiff(NamedTuple):
@@ -64,10 +68,13 @@ def merge_kmers(keys: list[int], path, k: int, skip_prefix: bool = True) -> str:
     if not len(path):
         return ""
     first = encode.unpack_kmer(keys[path[0]], k)
-    parts = [first[-1] if skip_prefix else first]
-    for i in path[1:]:
-        parts.append("ACGT"[int(keys[i]) & 3])
-    return "".join(parts)
+    head = first[-1] if skip_prefix else first
+    if len(path) == 1:
+        return head
+    tail_keys = np.fromiter((int(keys[i]) for i in path[1:]),
+                            dtype=np.uint64, count=len(path) - 1)
+    return head + _BASES[(tail_keys & np.uint64(3)).astype(np.intp)] \
+        .tobytes().decode("ascii")
 
 
 class MutationNameError(Exception):
