@@ -366,6 +366,40 @@ def stage_sharded():
                                    % (chunk, queries_per_row, len(keys))}
 
 
+def stage_scale(n_targets: int = 4000):
+    """Catalog-scaling headroom: the 400-target batch is not the
+    ceiling — the same batched pipeline carries 10x the targets
+    (the reference runs ONE target in seconds, reference:
+    km/tools/README.rst:91-92). Both paths are timed: at
+    bundled-fixture scale (4-32 KB tables) the host path wins — the
+    device path pays tunnel latency per dispatch and earns its keep on
+    real sample tables (1e9 records, where host lookups thrash),
+    see docs/DESIGN.md."""
+    from km_tpu.models.batch import run_catalog
+    from km_tpu.models.table import CountTable
+    from km_tpu.ops.device_table import DeviceCountTable
+
+    host = CountTable.from_jf("/root/reference/data/jf/03H116_ITD.jf")
+    targets = _make_catalog_targets(n_targets, host.k)
+    t0 = time.perf_counter()
+    rows = run_catalog(targets, host, walk="host")
+    host_dt = time.perf_counter() - t0
+    assert len(rows) == n_targets
+
+    dev = DeviceCountTable.from_host(host)
+    targets = _make_catalog_targets(n_targets, host.k)
+    run_catalog(targets, dev, walk="device")  # loads + warms
+    targets = _make_catalog_targets(n_targets, host.k)
+    t0 = time.perf_counter()
+    rows = run_catalog(targets, dev, walk="device")
+    dev_dt = time.perf_counter() - t0
+    assert len(rows) == n_targets
+    return {"catalog_walk_4000_host_s": round(host_dt, 3),
+            "catalog_walk_4000_device_warm_s": round(dev_dt, 3),
+            "catalog_walk_4000_host_targets_per_s":
+                round(n_targets / host_dt, 1)}
+
+
 STAGES = {
     "golden": stage_golden,
     "hostwalk": stage_hostwalk,
@@ -373,6 +407,7 @@ STAGES = {
     "devwalk": stage_devwalk,
     "e2e": stage_e2e,
     "sharded": stage_sharded,
+    "scale": stage_scale,
 }
 
 # (name, deadline_s, needs_device_tunnel)
@@ -386,6 +421,7 @@ STAGE_PLAN = [
     ("devwalk", 230, True),
     ("e2e", 150, True),
     ("sharded", 150, False),
+    ("scale", 180, True),
 ]
 
 
