@@ -199,7 +199,7 @@ def stage_devwalk(n_targets: int = 400):
             "device_rows_match_host": bool(match)}
 
 
-def stage_e2e(target_mb: int = 64):
+def stage_e2e(target_mb: int = 32):
     """End-to-end counting on a real file: FASTQ bytes on disk -> parse
     (native C++) -> 2-bit packed upload -> one fused device dispatch per
     chunk (unpack + count + merge into a device-resident accumulator) ->
@@ -419,9 +419,13 @@ STAGE_PLAN = [
     # link's mood; the deadline covers the slow tail plus the host
     # reference rows
     ("devwalk", 230, True),
-    ("e2e", 150, True),
+    ("scale", 150, True),
+    # e2e moves the most bytes and its wall time swings the most with
+    # the link; it runs LAST among tunnel stages so a deadline kill
+    # (which wedges the device session) can no longer poison a
+    # following stage
+    ("e2e", 200, True),
     ("sharded", 150, False),
-    ("scale", 180, True),
 ]
 
 
