@@ -28,10 +28,10 @@ import numpy as np
 def build_contrib(paths, n_kmers: int) -> np.ndarray:
     """Occurrence matrix [n_kmers, n_paths]: entry (i, j) counts how many
     times node i appears on path j (so ITD-duplicated k-mers count 2)."""
-    contrib = np.zeros((n_kmers, len(paths)), dtype=np.int32)
+    contrib = np.empty((n_kmers, len(paths)), dtype=np.int32)
     for j, path in enumerate(paths):
-        for i in path:
-            contrib[i, j] += 1
+        idx = np.fromiter(path, dtype=np.intp, count=len(path))
+        contrib[:, j] = np.bincount(idx, minlength=n_kmers)[:n_kmers]
     return contrib
 
 
