@@ -483,6 +483,42 @@ def main():
     value = None
     tunnel_sick = False
 
+    def emit():
+        """Cumulative JSON line; printed after every stage so a driver
+        timeout kill can never erase completed stages — the LAST line
+        on stdout is always the most complete result."""
+        ex = dict(extra)
+        if errors:
+            ex["stage_errors"] = dict(errors)
+        print(json.dumps({
+            "metric": "kmers_counted_per_sec_per_chip",
+            "value": round(value, 1) if value else 0.0,
+            "unit": "kmers/s",
+            "vs_baseline": (round(value / JELLYFISH_BASELINE_KMERS_PER_SEC,
+                                  3) if value else 0.0),
+            "extra": ex,
+        }), flush=True)
+
+    def attempt(name, deadline, needs_tunnel):
+        nonlocal value, tunnel_sick
+        result, err = run_stage_subprocess(name, deadline)
+        if err:
+            errors[name] = err
+            if needs_tunnel:
+                tunnel_sick = True
+            print("bench stage %s failed: %s" % (name, err),
+                  file=sys.stderr, flush=True)
+            emit()
+            return False
+        errors.pop(name, None)
+        if needs_tunnel:
+            tunnel_sick = False
+        if name == "counting":
+            value = result.pop("value", None)
+        extra.update(result)
+        emit()
+        return True
+
     for name, deadline, needs_tunnel in STAGE_PLAN:
         remaining = budget - (time.perf_counter() - t_start)
         if remaining < 20:
@@ -491,30 +527,22 @@ def main():
         if needs_tunnel and tunnel_sick:
             deadline = min(deadline, 60)  # fail fast on a sick tunnel
         deadline = min(deadline, remaining - 10)
-        result, err = run_stage_subprocess(name, deadline)
-        if err:
-            errors[name] = err
-            if needs_tunnel:
-                tunnel_sick = True
-            print("bench stage %s failed: %s" % (name, err),
-                  file=sys.stderr, flush=True)
-            continue
-        if needs_tunnel:
-            tunnel_sick = False
-        if name == "counting":
-            value = result.pop("value", None)
-        extra.update(result)
+        attempt(name, deadline, needs_tunnel)
 
-    if errors:
-        extra["stage_errors"] = errors
-    print(json.dumps({
-        "metric": "kmers_counted_per_sec_per_chip",
-        "value": round(value, 1) if value else 0.0,
-        "unit": "kmers/s",
-        "vs_baseline": (round(value / JELLYFISH_BASELINE_KMERS_PER_SEC, 3)
-                        if value else 0.0),
-        "extra": extra,
-    }), flush=True)
+    # the link's mood swings minute to minute (a stage can fail while
+    # the very next one succeeds); spend any leftover budget retrying
+    # failed tunnel stages once, most important first
+    for name, deadline, needs_tunnel in STAGE_PLAN:
+        if name not in errors or not needs_tunnel:
+            continue
+        remaining = budget - (time.perf_counter() - t_start)
+        if remaining < 90:
+            break
+        print("bench: retrying stage %s" % name, file=sys.stderr,
+              flush=True)
+        attempt(name, min(deadline, remaining - 10), needs_tunnel)
+
+    emit()  # the final, authoritative line
 
 
 if __name__ == "__main__":
