@@ -72,3 +72,31 @@ def test_cross_sample_catalog_robustness():
             finder.quantify_clusters()
             rows = finder.sorted_rows()
             assert any(r.type == "Reference" for r in rows), (jf, fa)
+
+
+def test_graphical_coverage_plot(tmp_path, monkeypatch):
+    """-g produces the per-path k-mer coverage figure (reference:
+    km/utils/MutationFinder.py:591-611); smoke on the Agg backend."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    shown = []
+    monkeypatch.setattr(plt, "show", lambda: shown.append(plt.gcf()))
+
+    from km_tpu.io.fasta import read_target
+    from km_tpu.models.finder import VariantFinder
+    from km_tpu.models.sequence import TargetSeq
+    from km_tpu.models.table import CountTable
+
+    from helpers import REFDATA
+
+    tab = CountTable.from_jf(f"{REFDATA}/jf/02H025_NPM1.jf")
+    seqs, _ = read_target(
+        f"{REFDATA}/catalog/GRCh38/NPM1_4ins_exons_10-11utr.fa")
+    f = VariantFinder(TargetSeq("".join(seqs), "NPM1", tab.k), tab)
+    f.find_alt_paths()
+    f.quantify_paths(graphical=True)
+    assert shown, "-g did not produce a figure"
+    assert shown[0].axes and shown[0].axes[0].lines
