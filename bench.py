@@ -476,7 +476,9 @@ def main():
         print(json.dumps(result), flush=True)
         return
 
-    budget = float(os.environ.get("KM_TPU_BENCH_BUDGET", "450"))
+    # keeps the whole run (stages + one retry pass + process overheads)
+    # safely inside a plausible external driver timeout
+    budget = float(os.environ.get("KM_TPU_BENCH_BUDGET", "420"))
     t_start = time.perf_counter()
     extra = {"baseline_assumption": "jellyfish ~20e6 kmers/s/host"}
     errors = {}
