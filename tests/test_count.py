@@ -184,3 +184,24 @@ def test_compact_path_equals_host():
         [(codes, valid)], 31, canonical=True, min_count=2,
         chunk=1 << 14)
     assert np.array_equal(comp2[0], host2[0])
+
+
+def test_coalesce_batches_no_cross_batch_windows():
+    """Batches joined into slabs must not create windows spanning two
+    batches (the k-1 invalid separator): counts equal counting each
+    batch independently."""
+    import numpy as np
+
+    from km_tpu.ops import count as opcount
+
+    rng = np.random.default_rng(9)
+    batches = [(rng.integers(0, 4, 500, dtype=np.uint8),
+                np.ones(500, bool)) for _ in range(6)]
+    host = opcount.count_batches_host(
+        [(c.copy(), v.copy()) for c, v in batches], 31,
+        canonical=True, min_count=1)
+    comp = opcount.count_batches_device_compact(
+        iter(batches), 31, canonical=True, min_count=1, chunk=1 << 12)
+    assert np.array_equal(comp[0], host[0])
+    assert np.array_equal(np.asarray(comp[1], np.int64),
+                          np.asarray(host[1], np.int64))
