@@ -214,9 +214,12 @@ def stage_e2e(target_mb: int = 32):
     from km_tpu.io.fastq import read_batches
     from km_tpu.ops import count as opcount
 
-    path = os.environ.get("KM_TPU_BENCH_FASTQ",
-                          "/tmp/km_tpu_bench_ref_%dmb.fastq" % target_mb)
-    _ensure_synthetic_fastq(path, target_mb)
+    override = os.environ.get("KM_TPU_BENCH_FASTQ")
+    if override:
+        path = override  # user-provided: never validated, never deleted
+    else:
+        path = "/tmp/km_tpu_bench_ref_%dmb.fastq" % target_mb
+        _ensure_synthetic_fastq(path, target_mb)
 
     # default: chunked device counting + native host k-way merge. The
     # fused stream-accumulator kernel (count_batches_device_stream, the

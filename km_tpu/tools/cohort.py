@@ -48,34 +48,16 @@ def _table_for_sample(sample: str, args):
         t.name = sample
         return t
 
-    import jax
-
     from ..models.table import CountTable
+    from .count import count_read_files
 
-    devices = jax.devices()
-    if len(devices) > 1 and jax.default_backend() != "cpu" or \
-            os.environ.get("KM_TPU_COHORT_SHARDED") == "1":
-        from ..io.fastq import read_batches
-        from ..parallel.sharded_table import make_mesh, sharded_count
-
-        mesh = make_mesh()
-        keys, counts = sharded_count(
-            read_batches([sample], min_quality=args.min_quality),
-            mesh, args.k, canonical=True, min_count=args.lower_count)
-    else:
-        from ..io.fastq import read_batches
-        from ..ops import count as opcount
-
-        capacity = 1 << 22
-        while True:
-            try:
-                keys, counts = opcount.count_batches_device_stream(
-                    read_batches([sample], min_quality=args.min_quality),
-                    args.k, canonical=True, min_count=args.lower_count,
-                    capacity=capacity)
-                break
-            except opcount.CountCapacityOverflow:
-                capacity *= 4
+    # KM_TPU_COHORT_SHARDED=1 forces the device/mesh path even for tiny
+    # inputs (used by the virtual-mesh tests)
+    device = ("cpu" if os.environ.get("KM_TPU_COHORT_SHARDED") == "1"
+              else "auto")
+    keys, counts = count_read_files(
+        [sample], args.k, canonical=True, min_count=args.lower_count,
+        min_quality=args.min_quality, device=device)
     table = CountTable.from_arrays(keys, counts, args.k, True,
                                    name=sample, presorted=True)
     return table
