@@ -18,9 +18,10 @@ Stages (each also runnable alone: `python bench.py --stage NAME`):
   counting  headline device counting throughput
   devwalk   full device pipeline (walk+Dijkstra+NNLS) on 400 targets,
             cold AND warm, rows asserted equal to the host pipeline
-  e2e       64 MB FASTQ file -> count table, end to end
+  e2e       32 MB FASTQ file -> count table, end to end
   sharded   one realistic-shape sharded pipeline step on a virtual
             8-device CPU mesh (reads-DP x table-TP), bytes exchanged
+  scale     4000-target catalog, host and device paths
 """
 
 import json
@@ -31,8 +32,9 @@ import time
 
 JELLYFISH_BASELINE_KMERS_PER_SEC = 20e6
 K = 31
-# v5e HBM bandwidth, for the counting roofline context (the sort is
-# memory-bound: see `sort_traffic_bytes_per_kmer` below)
+# v5e HBM bandwidth, for the counting roofline context (the sort phase
+# is memory-bound; traffic comes from XLA's cost model in
+# stage_counting)
 V5E_HBM_BYTES_PER_S = 819e9
 
 
