@@ -67,10 +67,19 @@ class _BatchLookup:
 
 
 def batch_discover(targets: list[TargetSeq], table, ratio=0.05, count=5,
-                   max_stack=500, max_break=10, max_node=10000):
+                   max_stack=500, max_break=10, max_node=10000,
+                   on_budget: str = "raise"):
     """Frontier walk over many targets; returns per-target ordered
-    {kmer: count} dicts (target k-mers first, then commits)."""
+    {kmer: count} dicts (target k-mers first, then commits).
+
+    on_budget: what to do when ONE target outgrows max_node — 'raise'
+    mirrors the sequential CLI (km hard-exits the process,
+    km/utils/MutationFinder.py:143-148); 'skip' isolates the failure
+    like the reference's per-target shell loop does (only that target's
+    process dies): the target's result becomes None and every other
+    target completes."""
     lut = _BatchLookup(table, ratio, count)
+    failed: set[int] = set()
 
     node_sets: list[set[int]] = []
     node_order: list[list[int]] = []
@@ -100,6 +109,8 @@ def batch_discover(targets: list[TargetSeq], table, ratio=0.05, count=5,
 
         for w in range(len(tgt)):
             ti = tgt[w]
+            if ti in failed:
+                continue
             kids = [int(child_keys[w, j]) for j in range(4) if mask[w, j]]
             b = breaks[w]
             if len(kids) > 1:
@@ -121,19 +132,26 @@ def batch_discover(targets: list[TargetSeq], table, ratio=0.05, count=5,
 
         # apply commits at round end (round-synchronous node-set growth)
         for ti, stack in commits:
+            if ti in failed:
+                continue
             ns, order = node_sets[ti], node_order[ti]
             for p in stack:
                 if p not in ns:
                     ns.add(p)
                     order.append(p)
             if len(order) > max_node:
-                raise NodeBudgetExceeded(max_node)
+                if on_budget == "raise":
+                    raise NodeBudgetExceeded(max_node)
+                failed.add(ti)
 
         tgt, stacks, breaks = new_tgt, new_stacks, new_breaks
 
     # resolve counts for every node, one batched query per target
     results = []
     for ti, order in enumerate(node_order):
+        if ti in failed:
+            results.append(None)
+            continue
         keys = np.array(order, dtype=np.uint64)
         counts = lut.query(keys)
         results.append({int(k): int(c) for k, c in zip(keys, counts)})
@@ -153,7 +171,8 @@ class PrecomputedWalker:
 def run_catalog(targets: list[TargetSeq], table, ratio=0.05, count=5,
                 max_stack=500, max_break=10, max_node=10000,
                 walk: str = "auto", quant: str = "auto",
-                pathing: str = "auto", graphical: bool = False):
+                pathing: str = "auto", graphical: bool = False,
+                on_budget: str = "raise"):
     """Full batched pipeline: frontier walk, then graph / path
     enumeration / quantification / classification across all targets.
     Returns one sorted row list per target.
@@ -167,6 +186,10 @@ def run_catalog(targets: list[TargetSeq], table, ratio=0.05, count=5,
     pathing: 'host' = per-target scan-min Dijkstra, 'device' = batched
     lockstep Dijkstra across targets (ops.pathgraph), 'auto' = follow
     the walk choice.
+    on_budget: 'raise' = a max_node overrun aborts the whole call like
+    the sequential CLI; 'skip' = the overrunning target alone yields an
+    empty row list (with km's error line on stderr), matching the
+    blast radius of the reference's one-process-per-target loop.
     """
     if walk == "auto":
         walk = "device" if isinstance(table, DeviceCountTable) else "host"
@@ -181,40 +204,51 @@ def run_catalog(targets: list[TargetSeq], table, ratio=0.05, count=5,
                else DeviceCountTable.from_host(table))
         node_datas = device_discover(
             [t.ref_mer for t in targets], dev, ratio=ratio, count=count,
-            max_stack=max_stack, max_break=max_break, max_node=max_node)
+            max_stack=max_stack, max_break=max_break, max_node=max_node,
+            on_budget=on_budget)
     else:
         node_datas = batch_discover(targets, table, ratio=ratio,
                                     count=count, max_stack=max_stack,
                                     max_break=max_break,
-                                    max_node=max_node)
+                                    max_node=max_node,
+                                    on_budget=on_budget)
 
     finders = []
     for target, node_data in zip(targets, node_datas):
+        if node_data is None:  # only possible with on_budget='skip'
+            sys.stderr.write(
+                "ERROR: Node query count limit exceeded: max={} "
+                "(target {}; skipped, batch continues)\n".format(
+                    max_node, target.name))
+            finders.append(None)
+            continue
         finder = finder_from_nodes(target, table, node_data)
         finders.append(finder)
+    live = [f for f in finders if f is not None]
     if pathing == "device":
         from ..ops.pathgraph import batched_alt_paths
 
-        batched_alt_paths(finders)
+        batched_alt_paths(live)
     else:
-        for finder in finders:
+        for finder in live:
             finder.find_alt_paths()
 
     if quant == "device" and not graphical:
         from ..ops import nnls
 
         jobs, emits = [], []
-        for finder in finders:
+        for finder in live:
             for paths, emit in finder.quant_jobs():
                 jobs.append((paths, finder.counts))
                 emits.append(emit)
         for emit, (coef, rvaf) in zip(emits, nnls.solve_batch(jobs)):
             emit(coef, rvaf)
     else:
-        for finder in finders:
+        for finder in live:
             finder.quantify_paths(graphical)
             finder.quantify_clusters(graphical)
-    return [finder.sorted_rows() for finder in finders]
+    return [finder.sorted_rows() if finder is not None else []
+            for finder in finders]
 
 
 def finder_from_nodes(target: TargetSeq, table, node_data: dict[int, int]):

@@ -309,12 +309,15 @@ _learned_stack_cap = 64
 def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
                     count=5, max_stack=500, max_break=10, max_node=10000,
                     walklet_cap=2048, copy_cap=128, commit_cap=128,
-                    log_cap=512, stack_cap=None):
+                    log_cap=512, stack_cap=None, on_budget="raise"):
     """Fixpoint driver for the device walk.
 
     targets_mers: per-target ordered unique packed ref k-mers (uint64).
     Returns per-target ordered {kmer: count} (ref k-mers first, then
-    commits in log order), like the host walkers.
+    commits in log order), like the host walkers. With
+    on_budget='skip', a target that outgrows max_node returns None
+    instead of aborting the whole batch (models.batch.run_catalog
+    documents the semantics).
     """
     from .device_table import split_keys
     from ..models.walk import NodeBudgetExceeded
@@ -347,6 +350,7 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
     # children can only become MORE known as the member set grows, so it
     # stays droppable forever
     active = np.arange(n_seeds, dtype=np.int64)
+    failed: set[int] = set()
 
     for _iteration in range(64):  # fixpoint iterations (typically 2)
         sizes = np.fromiter((len(order) for order in node_order),
@@ -443,7 +447,7 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
         changed = False
         for i in range(int(c_count)):
             t = int(c_tgt[i])
-            if t == TGT_SENTINEL:
+            if t == TGT_SENTINEL or t in failed:
                 continue
             d = int(c_depth[i])
             keys = ((c_hi[i, :d].astype(np.uint64) << np.uint64(32))
@@ -456,10 +460,16 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
                     order.append(key)
                     changed = True
             if len(order) > max_node:
-                raise NodeBudgetExceeded(max_node)
+                if on_budget == "raise":
+                    raise NodeBudgetExceeded(max_node)
+                failed.add(t)
         if not changed:
             break
         active = surv  # only prior survivors can still have unknown kids
+        if failed:  # failed targets' seeds stop walking
+            active = active[~np.isin(seed_tgt[active],
+                                     np.fromiter(failed, np.int32,
+                                                 len(failed)))]
 
     _learned_stack_cap = S  # next call starts at the depth that sufficed
 
@@ -470,12 +480,12 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
     all_counts = table.query_packed(all_keys) if len(all_keys) else all_keys
     results = []
     off = 0
-    for order in node_order:
+    for t, order in enumerate(node_order):
         n = len(order)
         # dict(zip(...)) over ready python lists runs at C speed; the
         # elementwise int() comprehension it replaces was ~25% of the
         # whole warm walk on a 400-target catalog
-        results.append(dict(zip(order,
-                                all_counts[off:off + n].tolist())))
+        results.append(None if t in failed else
+                       dict(zip(order, all_counts[off:off + n].tolist())))
         off += n
     return results

@@ -106,10 +106,14 @@ def prepare_table(table, probe=_default_probe):
 def emit_batched(targets, table, args, probe=_default_probe) -> None:
     table = prepare_table(table, probe=probe)
     with profiling.phase("batch_pipeline"):
+        # on_budget='skip': one runaway target loses only its own rows
+        # (with km's error line on stderr), matching the blast radius
+        # of the reference's one-process-per-target loop
         row_lists = run_catalog(
             targets, table, ratio=args.ratio, count=args.count,
             max_stack=args.steps, max_break=args.branchs,
-            max_node=args.nodes, graphical=args.graphical)
+            max_node=args.nodes, graphical=args.graphical,
+            on_budget="skip")
     for rows in row_lists:
         for row in rows:
             sys.stdout.write(str(row) + "\n")

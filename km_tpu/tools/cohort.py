@@ -106,7 +106,7 @@ def main_cohort(args, argparser):
         row_lists = run_catalog(
             tgt_objs, run_table, ratio=args.ratio, count=args.count,
             max_stack=args.steps, max_break=args.branchs,
-            max_node=args.nodes)
+            max_node=args.nodes, on_budget="skip")
         for (name, seq_f), rows in zip(paths, row_lists):
             out_path = os.path.join(outdir, name + ".tsv")
             _report_rows(rows, table.name, seq_f, args, out_path)
