@@ -105,7 +105,7 @@ def stage_hostwalk(n_targets: int = 400):
     return {"catalog_walk_400_targets_s": round(dt, 3)}
 
 
-def stage_counting(iters: int = 8, chunk: int = 1 << 24):
+def stage_counting(iters: int = 12, chunk: int = 1 << 24):
     """Sustained device counting throughput.
 
     Every iteration processes *distinct* data (salted on device) and all
