@@ -105,7 +105,7 @@ def stage_hostwalk(n_targets: int = 400):
     return {"catalog_walk_400_targets_s": round(dt, 3)}
 
 
-def stage_counting(iters: int = 12, chunk: int = 1 << 24):
+def stage_counting(iters: int = 8, chunk: int = 1 << 24):
     """Sustained device counting throughput.
 
     Every iteration processes *distinct* data (salted on device) and all
@@ -419,7 +419,7 @@ STAGES = {
 STAGE_PLAN = [
     ("golden", 90, False),
     ("hostwalk", 90, False),
-    ("counting", 150, True),
+    ("counting", 200, True),
     # the devwalk stage's cold executable loads swing 7-125 s with the
     # link's mood; the deadline covers the slow tail plus the host
     # reference rows
