@@ -14,7 +14,8 @@ Here one invocation covers samples x targets:
   mesh: every local device counts a read shard and the (key, count)
   runs are exchanged to their owner shard by `all_to_all`
   (parallel.sharded_table.sharded_count) when more than one device is
-  attached, single-device streaming otherwise;
+  attached, single-device counting otherwise (strategy per
+  backend, tools.count.count_read_files);
 - **targets** run as ONE batched pipeline per sample (models.batch):
   frontier walk, path sweeps and NNLS for the whole catalog together,
   promoted to the accelerator when the device health probe passes;
@@ -63,7 +64,7 @@ def _table_for_sample(sample: str, args):
     return table
 
 
-def _report_rows(rows, table_name, target_path, args, out_path):
+def _report_rows(rows, target_path, args, out_path):
     """One target's find_mutation rows -> a find_report file (the
     reference pipe `find_mutation | find_report -t target`)."""
     from .find_report import create_report
@@ -109,7 +110,7 @@ def main_cohort(args, argparser):
             max_node=args.nodes, on_budget="skip")
         for (name, seq_f), rows in zip(paths, row_lists):
             out_path = os.path.join(outdir, name + ".tsv")
-            _report_rows(rows, table.name, seq_f, args, out_path)
+            _report_rows(rows, seq_f, args, out_path)
         sys.stderr.write("cohort: %s -> %d targets in %s\n"
                          % (sample_name, len(paths), outdir))
     sys.stderr.write("cohort: done in %.1fs (%d sample(s) on host %d/%d)\n"
