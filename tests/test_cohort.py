@@ -163,3 +163,17 @@ def test_local_read_shards_partitions_by_host(monkeypatch):
         monkeypatch.setattr(jax, "process_index", lambda p=p: p)
         got += distributed.local_read_shards(samples)
     assert sorted(got) == samples
+
+
+def test_cohort_vcf_format(tmp_path):
+    """-f vcf flows through to every per-pair report file."""
+    outdir = str(tmp_path / "out")
+    cli.main(["cohort", "-t", f"{CAT}/NPM1_4ins_exons_10-11utr.fa",
+              "-o", outdir, "-f", "vcf",
+              f"{REFDATA}/jf/02H025_NPM1.jf"])
+    got = open(os.path.join(outdir, "02H025_NPM1",
+                            "NPM1_4ins_exons_10-11utr.tsv")).read()
+    want = _reference_report(f"{CAT}/NPM1_4ins_exons_10-11utr.fa",
+                             f"{REFDATA}/jf/02H025_NPM1.jf", fmt="vcf")
+    assert got == want
+    assert got.startswith("##fileformat=VCFv4.1")
