@@ -495,10 +495,16 @@ def _jitted_count_chunk(k: int, canonical: bool, use_pallas_sort: bool,
 
 def _jitted_count_compact(k: int, canonical: bool, n: int):
     """One dispatch: unpack a 2-bit-packed chunk, count it, and compact
-    the surviving runs to the front (stable flag-sort keeps them in key
-    order). Returns (hi, lo, cnt, n_runs); the host then transfers ONLY
-    the first n_runs entries — on a bandwidth-bound link the readback
-    shrinks from the full window count to the distinct-run count."""
+    the surviving runs to the front IN GLOBAL KEY ORDER. Returns
+    (hi, lo, cnt, n_runs); the host then transfers ONLY the first
+    n_runs entries — on a bandwidth-bound link the readback shrinks
+    from the full window count to the distinct-run count.
+
+    num_keys=3 (flag, hi, lo) is load-bearing: on TPU the counting
+    stage uses the Pallas CHUNK sort, which orders keys only within
+    sort_chunk-sized chunks — a flag-only sort would emit survivors in
+    chunk order, and the host k-way merge requires globally sorted
+    runs."""
     key = ("compact", k, canonical, n)
     fn = _JIT_CACHE.get(key)
     if fn is None:
@@ -511,7 +517,7 @@ def _jitted_count_compact(k: int, canonical: bool, n: int):
                                              canonical=canonical)
             alive = cnt > 0
             _, chi, clo, ccnt = jax.lax.sort(
-                ((~alive).astype(jnp.int32), hi, lo, cnt), num_keys=1)
+                ((~alive).astype(jnp.int32), hi, lo, cnt), num_keys=3)
             return chi, clo, ccnt, alive.sum()
 
         fn = jax.jit(run)
