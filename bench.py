@@ -526,8 +526,12 @@ def main():
         emit()
         return True
 
+    # the first pass leaves RESERVE seconds for the retry pass, so a
+    # slow-link day (stages eating their full deadlines) still gets one
+    # shot at re-running the most important failed stage
+    RESERVE = 120
     for name, deadline, needs_tunnel in STAGE_PLAN:
-        remaining = budget - (time.perf_counter() - t_start)
+        remaining = (budget - RESERVE) - (time.perf_counter() - t_start)
         if remaining < 20:
             errors[name] = "skipped: global budget exhausted"
             continue
@@ -538,9 +542,9 @@ def main():
 
     # the link's mood swings minute to minute (a stage can fail while
     # the very next one succeeds); spend any leftover budget retrying
-    # failed tunnel stages once, most important first
+    # failed or budget-skipped stages once, most important first
     for name, deadline, needs_tunnel in STAGE_PLAN:
-        if name not in errors or not needs_tunnel:
+        if name not in errors:
             continue
         remaining = budget - (time.perf_counter() - t_start)
         if remaining < 90:
