@@ -529,7 +529,7 @@ def main():
     # the first pass leaves RESERVE seconds for the retry pass, so a
     # slow-link day (stages eating their full deadlines) still gets one
     # shot at re-running the most important failed stage
-    RESERVE = 120
+    RESERVE = min(120, budget / 4)
     for name, deadline, needs_tunnel in STAGE_PLAN:
         remaining = (budget - RESERVE) - (time.perf_counter() - t_start)
         if remaining < 20:
@@ -547,7 +547,7 @@ def main():
         if name not in errors:
             continue
         remaining = budget - (time.perf_counter() - t_start)
-        if remaining < 90:
+        if remaining < min(90, RESERVE):
             break
         print("bench: retrying stage %s" % name, file=sys.stderr,
               flush=True)
