@@ -69,8 +69,13 @@ def test_engines_agree_on_random_samples(seed):
     for t in range(3):
         ref = _linear_seq(rng, int(rng.integers(150, 260)))
         alt = _mutate(rng, ref)
+        if t == 2:  # one target carries TWO variants (cluster pressure)
+            alt2 = _mutate(rng, ref)
+            seqs = [ref, alt, alt2]
+        else:
+            seqs = [ref, alt]
         targets.append(TargetSeq(ref, "T%d" % t, K))
-        tables.append(_sample_table(rng, [ref, alt]))
+        tables.append(_sample_table(rng, seqs))
 
     # one shared table per scenario: merge the three samples
     keys = np.concatenate([t.keys for t in tables])
