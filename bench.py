@@ -18,7 +18,7 @@ Stages (each also runnable alone: `python bench.py --stage NAME`):
   counting  headline device counting throughput
   devwalk   full device pipeline (walk+Dijkstra+NNLS) on 400 targets,
             cold AND warm, rows asserted equal to the host pipeline
-  e2e       32 MB FASTQ file -> count table, end to end
+  e2e       16 MB FASTQ file -> count table, end to end
   sharded   one realistic-shape sharded pipeline step on a virtual
             8-device CPU mesh (reads-DP x table-TP), bytes exchanged
   scale     4000-target catalog, host and device paths
@@ -201,7 +201,7 @@ def stage_devwalk(n_targets: int = 400):
             "device_rows_match_host": bool(match)}
 
 
-def stage_e2e(target_mb: int = 32):
+def stage_e2e(target_mb: int = 16):
     """End-to-end counting on a real file: FASTQ bytes on disk -> parse
     (native C++) -> 2-bit packed upload -> one fused device dispatch per
     chunk (unpack + count + merge into a device-resident accumulator) ->
@@ -424,13 +424,15 @@ STAGE_PLAN = [
     # link's mood; the deadline covers the slow tail plus the host
     # reference rows
     ("devwalk", 230, True),
+    # sharded is CPU-only (cannot hang on the device link) and cheap;
+    # it runs before the volatile tunnel tail so budget exhaustion on a
+    # slow-link day cannot cost it
+    ("sharded", 150, False),
     ("scale", 150, True),
     # e2e moves the most bytes and its wall time swings the most with
-    # the link; it runs LAST among tunnel stages so a deadline kill
-    # (which wedges the device session) can no longer poison a
-    # following stage
+    # the link; it runs LAST so a deadline kill (which wedges the
+    # device session) can no longer poison a following stage
     ("e2e", 200, True),
-    ("sharded", 150, False),
 ]
 
 
