@@ -52,9 +52,11 @@ def stage_golden():
     from km_tpu.tools.find_mutation import main_find_mut
     from km_tpu.tools.find_report import main_find_report
 
-    target = "/root/reference/data/catalog/GRCh38/NPM1_4ins_exons_10-11utr.fa"
+    from km_tpu.refdata import catalog_fa, jf_path
+
+    target = catalog_fa("NPM1_4ins_exons_10-11utr")
     args = Namespace(count=5, graphical=False,
-                     jellyfish_fn="/root/reference/data/jf/02H025_NPM1.jf",
+                     jellyfish_fn=jf_path("02H025_NPM1"),
                      ratio=0.05, steps=500, branchs=10, nodes=10000,
                      target_fn=[target], verbose=False, debug=False)
     out = _io.StringIO()
@@ -76,7 +78,9 @@ def _make_catalog_targets(n_targets, k):
     from km_tpu.io.fasta import read_target
     from km_tpu.models.sequence import TargetSeq
 
-    cat = "/root/reference/data/catalog/GRCh38"
+    from km_tpu.refdata import catalog_dir
+
+    cat = catalog_dir("GRCh38")
     base = []
     for fn in sorted(os.listdir(cat)):
         seqs, _ = read_target(os.path.join(cat, fn))
@@ -95,8 +99,9 @@ def stage_hostwalk(n_targets: int = 400):
     reference takes seconds *per target*)."""
     from km_tpu.models.batch import run_catalog
     from km_tpu.models.table import CountTable
+    from km_tpu.refdata import jf_path
 
-    host = CountTable.from_jf("/root/reference/data/jf/03H116_ITD.jf")
+    host = CountTable.from_jf(jf_path("03H116_ITD"))
     targets = _make_catalog_targets(n_targets, host.k)
     t0 = time.perf_counter()
     rows = run_catalog(targets, host, walk="host")
@@ -179,8 +184,9 @@ def stage_devwalk(n_targets: int = 400):
     from km_tpu.models.batch import run_catalog
     from km_tpu.models.table import CountTable
     from km_tpu.ops.device_table import DeviceCountTable
+    from km_tpu.refdata import jf_path
 
-    host = CountTable.from_jf("/root/reference/data/jf/03H116_ITD.jf")
+    host = CountTable.from_jf(jf_path("03H116_ITD"))
     targets = _make_catalog_targets(n_targets, host.k)
     host_rows = run_catalog(targets, host, walk="host")
 
@@ -383,8 +389,9 @@ def stage_scale(n_targets: int = 4000):
     from km_tpu.models.batch import run_catalog
     from km_tpu.models.table import CountTable
     from km_tpu.ops.device_table import DeviceCountTable
+    from km_tpu.refdata import jf_path
 
-    host = CountTable.from_jf("/root/reference/data/jf/03H116_ITD.jf")
+    host = CountTable.from_jf(jf_path("03H116_ITD"))
     targets = _make_catalog_targets(n_targets, host.k)
     t0 = time.perf_counter()
     rows = run_catalog(targets, host, walk="host")

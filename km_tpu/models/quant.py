@@ -31,6 +31,12 @@ def build_contrib(paths, n_kmers: int) -> np.ndarray:
     contrib = np.empty((n_kmers, len(paths)), dtype=np.int32)
     for j, path in enumerate(paths):
         idx = np.fromiter(path, dtype=np.intp, count=len(path))
+        if idx.size and idx.max() >= n_kmers:
+            # fail loud on a malformed path instead of silently dropping
+            # its out-of-range nodes from the occurrence matrix
+            raise IndexError(
+                "path %d references node %d >= n_kmers %d"
+                % (j, int(idx.max()), n_kmers))
         contrib[:, j] = np.bincount(idx, minlength=n_kmers)[:n_kmers]
     return contrib
 

@@ -59,11 +59,14 @@ def count_batches_host(batches, k: int, canonical: bool = True,
 
 
 def merge_runs(k1, c1, k2, c2):
-    """Merge two sorted (key, count) runs, summing duplicate keys."""
-    if not len(k1):
-        return k2, c2.astype(np.int64)
+    """Merge two sorted (key, count) runs, summing duplicate keys.
+    Duplicates *within* either run are collapsed too (the Pallas chunk
+    sort emits per-sort-chunk runs, so a key spanning chunks appears as
+    adjacent duplicates in one compacted device readback)."""
     keys = np.concatenate([k1, k2])
     counts = np.concatenate([c1.astype(np.int64), c2.astype(np.int64)])
+    if not len(keys):
+        return keys, counts
     order = np.argsort(keys, kind="stable")
     keys, counts = keys[order], counts[order]
     new_run = np.empty(len(keys), dtype=bool)
@@ -559,8 +562,12 @@ def count_batches_device_compact(batches, k: int, canonical: bool = True,
     if native.available():
         acc_keys, acc_counts = native.merge_sorted_runs(runs)
     else:
-        acc_keys, acc_counts = runs[0]
-        for rk, rc in runs[1:]:
+        # start from empty so the first run's own within-run duplicates
+        # (keys spanning Pallas sort-chunks) are collapsed even when it
+        # is the only run
+        acc_keys = np.empty(0, np.uint64)
+        acc_counts = np.empty(0, np.int64)
+        for rk, rc in runs:
             acc_keys, acc_counts = merge_runs(acc_keys, acc_counts, rk, rc)
     keep = acc_counts >= min_count
     return acc_keys[keep], acc_counts[keep].astype(np.uint32)

@@ -13,13 +13,16 @@ example/run_leucegene.sh:29-35).
 
 Device health probe: a remote/tunneled accelerator can hang
 indefinitely at session claim or first dispatch (observed: a client
-killed mid-session wedges subsequent claims for minutes). Before
-promoting the table to the device, a tiny dispatch runs in a daemon
-thread under a deadline (KM_TPU_BATCH_DEADLINE seconds, default 60;
-0 skips the probe); on timeout or error the pipeline falls back to the
-host batch path — sub-second on catalog workloads — instead of
-blocking forever. The host path imports no JAX, so a wedged tunnel
-cannot stall it.
+killed mid-session wedges subsequent claims for minutes) — and on this
+tunnel even ``import jax`` / ``jax.default_backend()`` can block at
+session claim via the sitecustomize backend registration. So backend
+*detection* and the tiny probe dispatch both run inside one daemon
+thread under a deadline (KM_TPU_BATCH_DEADLINE seconds, default 60; 0
+skips the probe and detects on the main thread); no JAX call touches
+the main thread before the probe verdict. On timeout or error the
+pipeline falls back to the host batch path — sub-second on catalog
+workloads — instead of blocking forever. The host path imports no JAX,
+so a wedged tunnel cannot stall it.
 """
 
 from __future__ import annotations
@@ -55,43 +58,57 @@ def _default_probe():
     return float(jnp.ones(8).sum())
 
 
-def probe_device(deadline_s: float, work=_default_probe) -> bool:
-    """Run ``work`` in a daemon thread; True iff it returned (without
-    raising) within ``deadline_s``. A hung probe thread is abandoned —
-    it blocks on the wedged backend and dies with the process."""
-    result: list[bool] = []
+def probe_device(deadline_s: float, work=_default_probe) -> str:
+    """Run backend detection + ``work`` in one daemon thread; returns
+    ``'ok'`` (non-CPU backend answered the probe), ``'cpu'`` (backend is
+    CPU — host pipeline is the right path, nothing wrong), ``'error'``
+    (detection or probe raised) or ``'timeout'``. Detection runs inside
+    the thread because on a wedged tunnel even ``import jax`` can block
+    (see module note). A hung thread is abandoned — it blocks on the
+    wedged backend and dies with the process."""
+    result: list[str] = []
 
     def runner():
         try:
+            if not _device_backend():
+                result.append("cpu")
+                return
             work()
-            result.append(True)
+            result.append("ok")
         except Exception:
-            result.append(False)
+            result.append("error")
 
     t = threading.Thread(target=runner, daemon=True,
                          name="km-tpu-device-probe")
     t.start()
     t.join(deadline_s)
-    return bool(result and result[0])
+    return result[0] if result else "timeout"
 
 
 def prepare_table(table, probe=_default_probe):
     """Promote a host table to the device when a healthy accelerator
     backend is present (see module note); returns the table to run the
     batched pipeline with."""
-    use_device = _device_backend()
-    forced = os.environ.get("KM_TPU_BATCH_DEVICE") not in (None, "", "0",
-                                                           "false")
-    if use_device and not forced:
+    forced_env = os.environ.get("KM_TPU_BATCH_DEVICE")
+    if forced_env is not None:
+        # explicit override: no probe, no deadline
+        use_device = forced_env not in ("", "0", "false")
+    else:
         deadline = float(os.environ.get("KM_TPU_BATCH_DEADLINE",
                                         DEFAULT_PROBE_DEADLINE_S))
-        if deadline > 0 and not probe_device(deadline, probe):
-            sys.stderr.write(
-                "VERBOSE:km-tpu: device backend unresponsive after "
-                "%.0fs; falling back to the host batch pipeline "
-                "(set KM_TPU_BATCH_DEVICE=1 to wait indefinitely)\n"
-                % deadline)
-            use_device = False
+        if deadline <= 0:
+            # probe explicitly disabled: detect on the main thread
+            use_device = _device_backend()
+        else:
+            verdict = probe_device(deadline, probe)
+            use_device = verdict == "ok"
+            if verdict in ("timeout", "error"):
+                sys.stderr.write(
+                    "VERBOSE:km-tpu: device backend %s after %.0fs; "
+                    "falling back to the host batch pipeline (set "
+                    "KM_TPU_BATCH_DEVICE=1 to wait indefinitely)\n"
+                    % ("unresponsive" if verdict == "timeout"
+                       else "errored", deadline))
 
     if use_device:
         from ..ops.device_table import DeviceCountTable

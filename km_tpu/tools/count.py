@@ -51,10 +51,15 @@ def count_read_files(paths, k: int, canonical: bool = True,
     import jax
 
     n_devices = len(jax.devices())
-    if n_devices > 1:
-        # multi-device mesh: every device counts a read shard and the
-        # (key, count) runs are routed to their owner key range with
-        # one all_to_all per step (parallel.sharded_table)
+    if n_devices > 1 and jax.process_count() == 1:
+        # single-process multi-device mesh: every device counts a read
+        # shard and the (key, count) runs are routed to their owner key
+        # range with one all_to_all per step (parallel.sharded_table).
+        # Guarded to one process: in multi-host cohort mode each process
+        # counts DIFFERENT samples with different chunk counts, so
+        # collectives over the global mesh would run mismatched programs
+        # across processes (hang/corruption); there, each sample counts
+        # on this host's default device instead.
         from ..parallel.sharded_table import make_mesh, sharded_count
 
         sys.stderr.write("counting on a %d-device mesh\n" % n_devices)

@@ -29,7 +29,9 @@ def main():
     from km_tpu.ops.device_table import DeviceCountTable
 
     backend = jax.default_backend()
-    cat = "/root/reference/data/catalog/GRCh38"
+    from km_tpu.refdata import catalog_dir, jf_path
+
+    cat = catalog_dir("GRCh38")
     jfs = ["02H025_NPM1", "03H116_ITD", "03H112_IandI",
            "05H094_FLT3-TKD_del", "02H033_DNMT3A_sub"]
 
@@ -37,7 +39,7 @@ def main():
     n_rows = 0
     mismatches = []
     for jf in jfs:
-        host = CountTable.from_jf(f"/root/reference/data/jf/{jf}.jf")
+        host = CountTable.from_jf(jf_path(jf))
         targets = []
         for fn in sorted(os.listdir(cat)):
             seqs, _ = read_target(os.path.join(cat, fn))

@@ -25,7 +25,7 @@ from km_tpu.utils import jaxcache  # noqa: E402
 
 jaxcache.enable()  # CPU test compiles persist across pytest runs too
 
-REFDATA = os.environ.get("KM_TPU_REFDATA", "/root/reference/data")
+from km_tpu.refdata import DATA_DIR as REFDATA  # noqa: E402
 
 
 def pytest_collection_modifyitems(config, items):

@@ -7,7 +7,7 @@ import io
 import os
 from argparse import Namespace
 
-REFDATA = os.environ.get("KM_TPU_REFDATA", "/root/reference/data")
+from km_tpu.refdata import DATA_DIR as REFDATA  # noqa: E402  (env-overridable)
 
 
 def run_tool(main, args: Namespace) -> tuple[str, str]:

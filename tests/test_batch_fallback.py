@@ -92,8 +92,41 @@ def test_healthy_probe_uses_device_path(monkeypatch):
     assert rows == _expected_rows(targets, table)
 
 
-def test_probe_device_timeout_is_bounded():
+def test_probe_device_timeout_is_bounded(monkeypatch):
+    monkeypatch.setattr(batchmode, "_device_backend", lambda: True)
     t0 = time.perf_counter()
-    ok = batchmode.probe_device(0.1, lambda: threading.Event().wait())
-    assert not ok
+    verdict = batchmode.probe_device(0.1,
+                                     lambda: threading.Event().wait())
+    assert verdict == "timeout"
     assert time.perf_counter() - t0 < 5
+
+
+def test_hanging_backend_detection_falls_back(monkeypatch):
+    """Backend *detection* itself (import jax / default_backend) hangs
+    on a wedged tunnel — the probe must bound it too, not just the
+    dispatch (ADVICE r4 #1)."""
+    def detect_hangs():
+        threading.Event().wait()
+
+    monkeypatch.setattr(batchmode, "_device_backend", detect_hangs)
+    monkeypatch.setenv("KM_TPU_BATCH_DEADLINE", "0.2")
+    monkeypatch.delenv("KM_TPU_BATCH_DEVICE", raising=False)
+
+    targets, table = _load()
+    t0 = time.perf_counter()
+    rows = _emit(targets, table, lambda: None)
+    assert time.perf_counter() - t0 < 30
+    assert rows == _expected_rows(targets, table)
+
+
+def test_cpu_backend_skips_probe_message(monkeypatch, capsys):
+    """A plain CPU backend is not a failure: host path, no 'falling
+    back' warning on stderr."""
+    monkeypatch.setattr(batchmode, "_device_backend", lambda: False)
+    monkeypatch.setenv("KM_TPU_BATCH_DEADLINE", "30")
+    monkeypatch.delenv("KM_TPU_BATCH_DEVICE", raising=False)
+
+    targets, table = _load()
+    rows = _emit(targets, table, lambda: None)
+    assert rows == _expected_rows(targets, table)
+    assert "falling back" not in capsys.readouterr().err

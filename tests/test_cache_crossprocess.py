@@ -26,11 +26,12 @@ from km_tpu.models.batch import run_catalog
 from km_tpu.models.sequence import TargetSeq
 from km_tpu.models.table import CountTable
 from km_tpu.ops.device_table import DeviceCountTable
+from km_tpu.refdata import catalog_fa, jf_path
 
 host = CountTable.from_jf(
-    "/root/reference/data/jf/02H025_NPM1.jf")
+    jf_path("02H025_NPM1"))
 seqs, _ = read_target(
-    "/root/reference/data/catalog/GRCh38/NPM1_4ins_exons_10-11utr.fa")
+    catalog_fa("NPM1_4ins_exons_10-11utr"))
 targets = [TargetSeq("".join(seqs), "NPM1_%%d" %% i, host.k)
            for i in range(3)]
 dev = DeviceCountTable.from_host(host)

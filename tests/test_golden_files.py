@@ -37,8 +37,14 @@ for _name, (_fa, _jf) in _TARGETS.items():
 
 
 def _read(name):
+    """Golden bytes, with the Database column's data-tree prefix mapped
+    to the active fixture tree. The goldens were frozen against the
+    reference's original in-tree data; km echoes the `.jf` argv path
+    verbatim into the Database column, so this one substitution is the
+    only path-dependent byte in them (the fixtures themselves are
+    vendored verbatim under data/)."""
     with open(os.path.join(GOLDEN, name)) as f:
-        return f.read()
+        return f.read().replace("/root/reference/data", REFDATA)
 
 
 @pytest.mark.parametrize("case", sorted(CASES))
