@@ -318,9 +318,11 @@ def _ensure_synthetic_fastq(path: str, target_mb: int,
 
 def stage_sharded():
     """One full sharded pipeline step (count -> all_to_all exchange ->
-    merge -> psum lookups -> child expansion) at realistic shapes on the
-    virtual 8-device CPU mesh: wall time + bytes exchanged. CPU-mesh
-    scale evidence for the multi-chip path."""
+    merge -> owner-routed lookups -> child expansion) at realistic
+    shapes on the virtual 8-device CPU mesh: wall time + bytes
+    exchanged, with the routed lookup's ICI payload compared against
+    the replicate+psum broadcast it replaced. CPU-mesh scale evidence
+    for the multi-chip path."""
     import numpy as np
 
     import jax
@@ -343,8 +345,14 @@ def stage_sharded():
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, (R, S, chunk), dtype=np.uint8)
     valid = np.ones((R, S, chunk), dtype=bool)
+    from km_tpu.ops import encode as _encode
+
     n_keys = 1 << 20  # 1M-record persistent table
-    keys = np.unique(rng.integers(0, 1 << 62, n_keys, dtype=np.uint64))
+    # canonical keys, like any real counted table: the shard boundaries
+    # are then quantiles of the same distribution canonicalized walk
+    # queries follow, which is what keeps the routed buckets balanced
+    keys = np.unique(_encode.canonical(
+        rng.integers(0, 1 << 62, n_keys, dtype=np.uint64), K))
     per = -(-len(keys) // S)
     pad = per * S - len(keys)
     hi = np.concatenate([(keys >> np.uint64(32)).astype(np.uint32),
@@ -354,16 +362,26 @@ def stage_sharded():
     cnts = np.concatenate([rng.integers(1, 100, len(keys)),
                            np.zeros(pad)]).astype(np.int32)[None]
     rounds = max(1, int(np.ceil(np.log2(max(per, 2)))) + 1)
+    starts = np.minimum(np.arange(S) * per, len(keys) - 1)
+    b_hi = (keys[starts] >> np.uint64(32)).astype(np.uint32)
+    b_lo = (keys[starts] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     q = rng.integers(0, 1 << 62, (R, queries_per_row), dtype=np.uint64)
     qhi = (q >> np.uint64(32)).astype(np.uint32)
     qlo = (q & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
-    step = build_full_step(mesh, K, chunk, bucket_cap, rounds)
+    # routed-lookup bucket: uniform per-owner expectation + 4 sigma
+    q_local = queries_per_row // S
+    mu = q_local // S
+    query_cap = int(mu + 4 * mu ** 0.5) + 16
+    step = build_full_step(mesh, K, chunk, bucket_cap, rounds, query_cap)
     args = (jnp.asarray(codes), jnp.asarray(valid), jnp.asarray(hi),
             jnp.asarray(lo), jnp.asarray(cnts), jnp.asarray(qhi),
-            jnp.asarray(qlo), jnp.float32(0.05), jnp.int32(5))
+            jnp.asarray(qlo), jnp.asarray(b_hi), jnp.asarray(b_lo),
+            jnp.float32(0.05), jnp.int32(5))
     out = step(*args)  # compile + first step
     jax.block_until_ready(out)
+    qdropped = int(np.asarray(out[6]).sum())
+    assert qdropped == 0, f"routed lookup dropped {qdropped} queries"
     t0 = time.perf_counter()
     out = step(*args)
     jax.block_until_ready(out)
@@ -371,8 +389,19 @@ def stage_sharded():
     # all_to_all payload per device: n_shards buckets x bucket_cap x
     # (4+4+4) bytes, for each of R*S devices
     exchanged = R * S * S * bucket_cap * 12
+    # query routing: tips (8B out + 4B back per slot) + 4x children,
+    # per device S buckets x query_cap slots
+    routed_bytes = R * S * S * query_cap * 12 * (1 + 4)
+    # the replicate+psum broadcast this replaced: every device receives
+    # all Q queries (8B) and contributes a Q-long psum partial (4B),
+    # tips + 4x children
+    broadcast_bytes = R * S * queries_per_row * 12 * (1 + 4)
     return {"sharded_step_8dev_warm_s": round(dt, 3),
             "sharded_step_exchanged_bytes": int(exchanged),
+            "sharded_lookup_routed_bytes": int(routed_bytes),
+            "sharded_lookup_broadcast_bytes": int(broadcast_bytes),
+            "sharded_lookup_traffic_ratio": round(
+                broadcast_bytes / routed_bytes, 2),
             "sharded_step_shapes": "R2xS4 chunk=%d queries=%d table=%d"
                                    % (chunk, queries_per_row, len(keys))}
 

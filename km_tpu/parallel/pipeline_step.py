@@ -12,12 +12,21 @@ One step does, entirely inside shard_map with XLA collectives:
 2. route (key, count) runs to their owner shard with ``all_to_all``
    over the shard axis (the counting exchange);
 3. merge received runs locally (the owner's table delta);
-4. look up a data-parallel batch of walk queries against the persistent
-   sharded table: local binary search + ``psum`` over the shard axis;
-5. expand each query's 4 children and threshold them (one walk step).
+4. look up a batch of walk queries against the persistent sharded
+   table, **owner-routed**: each device holds a (reads, shard)-sharded
+   slice of the query batch, buckets it by owner shard against the
+   boundary keys, one ``all_to_all`` out, local binary search at the
+   owner only, one ``all_to_all`` back (SURVEY §2.3's "all-to-all
+   routed gather keyed by hash prefix"; sharded_table._route_and_lookup
+   is the shared kernel). ICI traffic O(Q) instead of the old
+   replicate+psum broadcast's O(Q x n_shards);
+5. expand each query's 4 children and threshold them (one walk step) —
+   child lookups ride the same routed exchange.
 
-Outputs stay sharded: table deltas over (reads, shard), query counts and
-child masks over reads.
+Outputs stay sharded: table deltas over (reads, shard), query counts
+and child masks over (reads, shard). Routed-bucket overflow counts are
+returned (qdropped) so callers can rebuild with a larger query_cap or
+fall back to broadcast — results are never silently wrong.
 """
 
 from __future__ import annotations
@@ -33,17 +42,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops import count as count_mod
 from ..ops.count import count_chunk_device
 from ..ops.device_table import child_keys_split, canonical_kernel
-from .sharded_table import SENTINEL, _local_lookup
+from .sharded_table import SENTINEL, _route_and_lookup
 
 
 def build_full_step(mesh: Mesh, k: int, chunk: int, bucket_cap: int,
-                    rounds: int, canonical: bool = True,
+                    rounds: int, query_cap: int,
+                    canonical: bool = True,
                     reads_axis: str = "reads", shard_axis: str = "shard"):
     n_shards = mesh.shape[shard_axis]
     shard_bits = max(1, int(np.ceil(np.log2(max(n_shards, 2)))))
 
     def kernel(codes, valid, keys_hi, keys_lo, counts, qhi, qlo,
-               ratio, n_cutoff):
+               b_hi, b_lo, ratio, n_cutoff):
         # ---- 1. local count (codes arrive [1, 1, chunk] per device) ----
         hi, lo, cnt = count_chunk_device(codes[0, 0], valid[0, 0], k,
                                          canonical=canonical)
@@ -74,26 +84,27 @@ def build_full_step(mesh: Mesh, k: int, chunk: int, bucket_cap: int,
         delta_hi, delta_lo, delta_cnt = count_mod.sum_runs_device(
             rhi, rlo, rcnt)
 
-        # ---- 4. data-parallel lookup on the persistent table ----
-        qh = qhi[0]  # [1, Q/R] local -> [Q/R]
+        # ---- 4. owner-routed lookup on the persistent table ----
+        qh = qhi[0]  # local slice [1, Q/S] -> [Q/S]
         ql = qlo[0]
-        if canonical:
-            qh, ql = canonical_kernel(qh, ql, k=k)
-        qh = jax.lax.pcast(qh, (shard_axis,), to="varying")
-        ql = jax.lax.pcast(ql, (shard_axis,), to="varying")
-        tip_counts = jax.lax.psum(
-            _local_lookup(keys_hi[0], keys_lo[0], counts[0], qh, ql,
-                          rounds), shard_axis)
+        bh = jax.lax.pcast(b_hi, (reads_axis, shard_axis), to="varying")
+        bl = jax.lax.pcast(b_lo, (reads_axis, shard_axis), to="varying")
+        qh_c, ql_c = (canonical_kernel(qh, ql, k=k) if canonical
+                      else (qh, ql))
+        tip_counts, qdrop = _route_and_lookup(
+            keys_hi[0], keys_lo[0], counts[0], qh_c, ql_c, bh, bl,
+            shard_axis, n_shards, query_cap, rounds)
 
-        # ---- 5. one walk step: thresholded child expansion ----
-        chi, clo = child_keys_split(qhi[0], qlo[0], k, forward=True)
+        # ---- 5. one walk step: thresholded child expansion (children
+        # of the raw tips; lookups ride the same routed exchange) ----
+        chi, clo = child_keys_split(qh, ql, k, forward=True)
         ch, cl = (canonical_kernel(chi, clo, k=k) if canonical
                   else (chi, clo))
-        ch = jax.lax.pcast(ch, (shard_axis,), to="varying")
-        cl = jax.lax.pcast(cl, (shard_axis,), to="varying")
-        child_counts = jax.lax.psum(
-            _local_lookup(keys_hi[0], keys_lo[0], counts[0], ch, cl,
-                          rounds), shard_axis)
+        cc, cdrop = _route_and_lookup(
+            keys_hi[0], keys_lo[0], counts[0],
+            ch.reshape(-1), cl.reshape(-1), bh, bl,
+            shard_axis, n_shards, 4 * query_cap, rounds)
+        child_counts = cc.reshape(ch.shape)
         sums = child_counts.sum(axis=-1, keepdims=True)
         thr = jnp.maximum(sums.astype(jnp.float32) * ratio,
                           n_cutoff.astype(jnp.float32))
@@ -101,7 +112,8 @@ def build_full_step(mesh: Mesh, k: int, chunk: int, bucket_cap: int,
 
         return (delta_hi[None, None], delta_lo[None, None],
                 delta_cnt[None, None], tip_counts[None],
-                child_mask[None], dropped[None, None])
+                child_mask[None], dropped[None, None],
+                (qdrop + cdrop)[None, None])
 
     mapped = jax.shard_map(
         kernel, mesh=mesh,
@@ -110,12 +122,16 @@ def build_full_step(mesh: Mesh, k: int, chunk: int, bucket_cap: int,
                   P(None, shard_axis),              # table keys_hi [1, N]
                   P(None, shard_axis),              # table keys_lo
                   P(None, shard_axis),              # table counts
-                  P(reads_axis),                    # qhi [R, Q/R]
-                  P(reads_axis),                    # qlo
+                  P(reads_axis, shard_axis),        # qhi [R, Q]
+                  P(reads_axis, shard_axis),        # qlo
+                  P(), P(),                         # boundaries [S]
                   P(), P()),                        # ratio, n_cutoff
         out_specs=(P(reads_axis, shard_axis), P(reads_axis, shard_axis),
-                   P(reads_axis, shard_axis), P(reads_axis),
-                   P(reads_axis), P(reads_axis, shard_axis)),
+                   P(reads_axis, shard_axis),
+                   P(reads_axis, shard_axis),       # tip_counts [R, Q]
+                   P(reads_axis, shard_axis, None),  # child_mask [R, Q, 4]
+                   P(reads_axis, shard_axis),
+                   P(reads_axis, shard_axis)),      # qdropped
     )
     return jax.jit(mapped)
 
@@ -143,14 +159,22 @@ def demo_step(mesh: Mesh, k: int = 31, chunk: int = 4096,
     cnts = np.concatenate([rng.integers(1, 100, len(keys)),
                            np.zeros(pad)]).astype(np.int32)[None]
     rounds = max(1, int(np.ceil(np.log2(max(per, 2)))) + 1)
+    # routing boundaries: first key of each shard (all shards nonempty
+    # here, so no max-key placeholders)
+    starts = np.minimum(np.arange(S) * per, len(keys) - 1)
+    b_hi = (keys[starts] >> np.uint64(32)).astype(np.uint32)
+    b_lo = (keys[starts] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
+    assert queries_per_row % S == 0, "queries must split over shards"
     q = rng.integers(0, 1 << 62, (R, queries_per_row), dtype=np.uint64)
     qhi = (q >> np.uint64(32)).astype(np.uint32)
     qlo = (q & np.uint64(0xFFFFFFFF)).astype(np.uint32)
 
-    bucket_cap = chunk  # safe bound
-    step = build_full_step(mesh, k, chunk, bucket_cap, rounds)
+    bucket_cap = chunk            # safe bound
+    query_cap = queries_per_row // S  # safe bound: no routed drop possible
+    step = build_full_step(mesh, k, chunk, bucket_cap, rounds, query_cap)
     out = step(jnp.asarray(codes), jnp.asarray(valid), jnp.asarray(hi),
                jnp.asarray(lo), jnp.asarray(cnts), jnp.asarray(qhi),
-               jnp.asarray(qlo), jnp.float32(0.05), jnp.int32(5))
+               jnp.asarray(qlo), jnp.asarray(b_hi), jnp.asarray(b_lo),
+               jnp.float32(0.05), jnp.int32(5))
     return jax.tree.map(lambda x: np.asarray(x), out)

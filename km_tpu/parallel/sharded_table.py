@@ -7,10 +7,21 @@ Sharding model (the scaling-book recipe, applied to k-mer tables):
   keys to a common length. Memory per chip = N / n_shards records, so a
   multi-host slice holds tables far beyond one chip's HBM (a whole
   RNA-seq sample is ~1e9 records = 12 GB);
-- **lookup**: queries are replicated over the shard axis (all-gather by
-  sharding constraint), each shard binary-searches its local slice and
-  answers hit-or-0, and a ``psum`` over the shard axis combines the
-  disjoint answers. One collective per batched lookup, riding ICI;
+- **lookup (routed, the default)**: queries arrive *sharded* over the
+  mesh; each device buckets its local queries by owner shard (a
+  searchsorted against the shard-boundary keys), one ``all_to_all``
+  delivers every query to the single shard that can answer it, the
+  owner binary-searches only what it received, and a second
+  ``all_to_all`` returns the answers. ICI traffic is O(Q) each way and
+  search work is Q total — vs O(Q x n_shards) for both under the
+  replicate+psum broadcast (SURVEY §2.3: "lookups = all-to-all routed
+  gather keyed by hash prefix"). Bucket capacity is sized for the
+  near-uniform key mix sliding windows produce; if adversarial skew
+  overflows it, the dropped count is reported and the caller falls
+  back to the broadcast path below — never a wrong answer;
+- **lookup (broadcast fallback)**: queries replicated over the shard
+  axis, every shard searches all of them, ``psum`` combines the
+  disjoint hit-or-0 answers. More traffic, but capacity-free;
 - **counting**: each device counts its own read chunk locally
   (sort + segment-reduce, km_tpu.ops.count), buckets the resulting
   (key, count) runs by owner shard, and a fixed-size ``all_to_all``
@@ -70,6 +81,55 @@ def _local_lookup(keys_hi, keys_lo, counts, qhi, qlo, rounds: int):
     return jnp.where(hit, counts[pos], 0)
 
 
+def _route_and_lookup(keys_hi, keys_lo, counts, qhi, qlo, b_hi, b_lo,
+                      axis: str, n_shards: int, cap: int, rounds: int):
+    """Inside shard_map: local query slice [Qloc] -> counts [Qloc] by
+    routing each query to its owner shard (see module note). Returns
+    (counts, n_dropped_local); dropped queries (bucket overflow under
+    adversarial skew) answer 0 and must be retried via the broadcast
+    path by the caller."""
+    Qloc = qhi.shape[0]
+    # owner = rightmost shard whose first key <= q (queries below the
+    # global minimum go to shard 0 and miss there, which is correct)
+    le = ((b_hi[None, :] < qhi[:, None])
+          | ((b_hi[None, :] == qhi[:, None])
+             & (b_lo[None, :] <= qlo[:, None])))
+    owner = jnp.maximum(le.astype(jnp.int32).sum(axis=1) - 1, 0)
+
+    # bucket queries by owner: stable sort + rank within owner group
+    order = jnp.argsort(owner, stable=True)
+    owner_s = owner[order]
+    qhi_s, qlo_s = qhi[order], qlo[order]
+    idx = jnp.arange(Qloc, dtype=jnp.int32)
+    group_start = jnp.searchsorted(owner_s, jnp.arange(n_shards + 1))
+    rank = idx - group_start[owner_s].astype(jnp.int32)
+    keep = rank < cap
+    slot = jnp.where(keep, owner_s * cap + rank, n_shards * cap)
+    dropped = jnp.sum(~keep)
+
+    sent = jnp.uint32(SENTINEL)
+    buck_hi = jnp.full((n_shards * cap + 1,), sent) \
+        .at[slot].set(qhi_s)[:-1].reshape(n_shards, cap)
+    buck_lo = jnp.full((n_shards * cap + 1,), sent) \
+        .at[slot].set(qlo_s)[:-1].reshape(n_shards, cap)
+
+    # bucket s -> shard s; received row j = queries shard j asks of us
+    rq_hi = jax.lax.all_to_all(buck_hi, axis, 0, 0).reshape(-1)
+    rq_lo = jax.lax.all_to_all(buck_lo, axis, 0, 0).reshape(-1)
+    ans = _local_lookup(keys_hi, keys_lo, counts, rq_hi, rq_lo, rounds)
+    # (sentinel fill queries can only match sentinel table padding,
+    # whose count is 0 — harmless)
+
+    # answers for sender j ride back on row j; received row o = owner
+    # o's answers to our bucket o
+    back = jax.lax.all_to_all(ans.reshape(n_shards, cap), axis, 0, 0)
+    flat = back.reshape(-1)
+    res_sorted = jnp.where(
+        keep, flat[jnp.minimum(slot, n_shards * cap - 1)], 0)
+    out = jnp.zeros(Qloc, dtype=ans.dtype).at[order].set(res_sorted)
+    return out, dropped
+
+
 class ShardedCountTable:
     """Count table partitioned into equal key ranges across a mesh."""
 
@@ -95,13 +155,25 @@ class ShardedCountTable:
         self.keys_lo = jax.device_put(lo, sharding)
         self.counts = jax.device_put(cnts, sharding)
         self.per_shard = per
+        self.n_shards = n_shards
         self.rounds = max(1, int(np.ceil(np.log2(max(per, 2)))) + 1)
-        # boundary = first key of each shard (host copy, for routing)
+        # boundary = first key of each shard, the routing table. Shards
+        # that are pure padding get the max key so the rightmost-<=
+        # owner search can never route a real query to them.
         starts = np.arange(n_shards) * per
-        self.boundaries = (keys[np.minimum(starts, max(len(keys) - 1, 0))]
-                           if len(keys) else np.zeros(n_shards, np.uint64))
+        if len(keys):
+            bounds = keys[np.minimum(starts, len(keys) - 1)].copy()
+            bounds[starts >= len(keys)] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        else:
+            bounds = np.full(n_shards, np.uint64(0xFFFFFFFFFFFFFFFF))
+        self.boundaries = bounds
+        b_hi, b_lo = split_keys(bounds)
+        repl = NamedSharding(mesh, P())
+        self.b_hi = jax.device_put(b_hi, repl)
+        self.b_lo = jax.device_put(b_lo, repl)
 
         self._lookup = self._build_lookup()
+        self._routed_cache: dict[tuple[int, int], object] = {}
 
     def _build_lookup(self):
         axis = self.axis
@@ -123,7 +195,8 @@ class ShardedCountTable:
         return jax.jit(mapped)
 
     def lookup(self, qhi, qlo):
-        """Replicated-query lookup; returns counts (replicated)."""
+        """Replicated-query broadcast lookup; returns counts
+        (replicated). Capacity-free fallback for lookup_routed."""
         if self.canonical:
             from ..ops.device_table import canonical_kernel
 
@@ -131,10 +204,72 @@ class ShardedCountTable:
         return self._lookup(self.keys_hi, self.keys_lo, self.counts,
                             qhi, qlo)
 
-    def query_packed(self, keys: np.ndarray) -> np.ndarray:
+    def _build_routed(self, q_local: int, cap: int):
+        axis, S, rounds = self.axis, self.n_shards, self.rounds
+
+        def kernel(keys_hi, keys_lo, counts, qhi, qlo, b_hi, b_lo):
+            b_hi = jax.lax.pcast(b_hi, (axis,), to="varying")
+            b_lo = jax.lax.pcast(b_lo, (axis,), to="varying")
+            out, dropped = _route_and_lookup(
+                keys_hi, keys_lo, counts, qhi, qlo, b_hi, b_lo,
+                axis, S, cap, rounds)
+            return out, dropped[None]
+
+        mapped = jax.shard_map(
+            kernel, mesh=self.mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(), P()),
+            out_specs=(P(axis), P(axis)),
+        )
+        return jax.jit(mapped)
+
+    def routed_cap(self, q_local: int) -> int:
+        """Per-owner bucket capacity for Qloc local queries: uniform
+        expectation + 4 sigma + slack (sliding-window k-mer keys mix
+        near-uniformly over the key space, so bucket loads concentrate
+        binomially; overflow falls back to broadcast, never corrupts)."""
+        mu = -(-q_local // self.n_shards)
+        return min(q_local, int(mu + 4 * mu ** 0.5) + 16)
+
+    def lookup_routed(self, qhi, qlo, cap: int | None = None):
+        """Owner-routed lookup (module note): queries are split over
+        the mesh, each travels to exactly one shard and back. Falls
+        back to the broadcast path on bucket overflow (adversarial key
+        skew), so results always equal :meth:`lookup`'s."""
+        if self.canonical:
+            from ..ops.device_table import canonical_kernel
+
+            qhi, qlo = canonical_kernel(qhi, qlo, k=self.k)
+        S = self.n_shards
+        n = qhi.shape[0]
+        # pad to a pow2 multiple of S: bounds compile classes AND makes
+        # the per-device slice static
+        per = max(64, 1 << (int(np.ceil(n / S)) - 1).bit_length())
+        tot = per * S
+        if tot > n:
+            pad_hi = jnp.full(tot - n, SENTINEL, jnp.uint32)
+            qhi = jnp.concatenate([jnp.asarray(qhi), pad_hi])
+            qlo = jnp.concatenate([jnp.asarray(qlo), pad_hi])
+        if cap is None:
+            cap = self.routed_cap(per)
+        key = (per, cap)
+        fn = self._routed_cache.get(key)
+        if fn is None:
+            fn = self._routed_cache[key] = self._build_routed(per, cap)
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        out, dropped = fn(self.keys_hi, self.keys_lo, self.counts,
+                          jax.device_put(qhi, sharding),
+                          jax.device_put(qlo, sharding),
+                          self.b_hi, self.b_lo)
+        if int(np.asarray(dropped).sum()):
+            return self.lookup(qhi, qlo)[:n]
+        return out[:n]
+
+    def query_packed(self, keys: np.ndarray, routed: bool = True) -> np.ndarray:
         keys = np.asarray(keys, dtype=np.uint64)
         hi, lo = split_keys(keys.reshape(-1))
-        out = self.lookup(jnp.asarray(hi), jnp.asarray(lo))
+        look = self.lookup_routed if routed else self.lookup
+        out = look(jnp.asarray(hi), jnp.asarray(lo))
         return np.asarray(out).astype(np.int64).reshape(keys.shape)
 
     # -- persistence: the "checkpoint" of the expensive counting phase --

@@ -34,6 +34,79 @@ def test_sharded_lookup_matches_host():
     assert (sharded.query_packed(queries) == host.query_packed(queries)).all()
 
 
+def test_routed_lookup_matches_host_and_broadcast():
+    """SURVEY §2.3 routed gather: owner-routed lookups must equal both
+    the broadcast path and the host table, hits and misses alike."""
+    _require_devices(8)
+    host = CountTable.from_jf(f"{REFDATA}/jf/02H025_NPM1.jf")
+    mesh = make_mesh(8)
+    sharded = ShardedCountTable(host, mesh)
+
+    rng = np.random.default_rng(7)
+    present = host.keys[rng.integers(0, len(host.keys), 500)]
+    flipped = encode.revcomp(present, host.k)
+    absent = rng.integers(0, 1 << 61, 500, dtype=np.uint64)
+    edge = np.concatenate([host.keys[:1], host.keys[-1:],
+                           sharded.boundaries[sharded.boundaries <
+                                              np.uint64(1 << 62)]])
+    queries = np.concatenate([present, flipped, absent, edge])
+    want = host.query_packed(queries)
+    assert (sharded.query_packed(queries, routed=True) == want).all()
+    assert (sharded.query_packed(queries, routed=False) == want).all()
+
+
+def test_routed_lookup_overflow_falls_back_to_broadcast():
+    """A bucket capacity far below the skew (cap=1) must not produce
+    wrong counts: the dropped-query report triggers the broadcast
+    fallback."""
+    import jax.numpy as jnp
+
+    from km_tpu.ops.device_table import split_keys
+
+    _require_devices(8)
+    host = CountTable.from_jf(f"{REFDATA}/jf/02H025_NPM1.jf")
+    sharded = ShardedCountTable(host, make_mesh(8))
+    rng = np.random.default_rng(8)
+    queries = host.keys[rng.integers(0, len(host.keys), 400)]
+    hi, lo = split_keys(queries)
+    out = sharded.lookup_routed(jnp.asarray(hi), jnp.asarray(lo), cap=1)
+    want = host.query_packed(queries)
+    assert (np.asarray(out).astype(np.int64) == want).all()
+
+
+def test_full_step_routed_lookups_match_host():
+    """The 2-D-mesh pipeline step's routed tip lookups (step 4) agree
+    with a host recomputation, and nothing overflowed the routing
+    buckets."""
+    import jax.numpy  # noqa: F401  (ensures jax configured first)
+
+    from jax.sharding import Mesh
+
+    from km_tpu.parallel.pipeline_step import demo_step
+
+    _require_devices(8)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("reads", "shard"))
+    out = demo_step(mesh, k=31, chunk=2048, queries_per_row=128)
+    (dhi, dlo, dcnt, tips, child_mask, dropped, qdropped) = out
+    assert int(np.asarray(qdropped).sum()) == 0
+    assert tips.shape == (2, 128)
+    assert child_mask.shape == (2, 128, 4)
+
+    # host recomputation of step 4 from demo_step's own constructions
+    rng = np.random.default_rng(0)
+    _ = rng.integers(0, 4, (2, 4, 2048), dtype=np.uint8)
+    _ = np.ones((2, 4, 2048), dtype=bool)
+    keys = np.unique(rng.integers(0, 1 << 62, 1 << 12, dtype=np.uint64))
+    counts = rng.integers(1, 100, len(keys))
+    q = rng.integers(0, 1 << 62, (2, 128), dtype=np.uint64)
+    qc = encode.canonical(q.reshape(-1), 31).reshape(q.shape)
+    pos = np.searchsorted(keys, qc)
+    posc = np.minimum(pos, len(keys) - 1)
+    want = np.where(keys[posc] == qc, counts[posc], 0)
+    assert (tips.astype(np.int64) == want).all()
+
+
 def test_sharded_count_matches_host():
     _require_devices(8)
     rng = np.random.default_rng(4)
