@@ -16,7 +16,14 @@ On-disk format (verified against the five fixtures in
   ``counter_len`` bytes of little-endian count.
 
 Records are ordered by Jellyfish's internal matrix hash, NOT
-lexicographically; callers should re-sort (CountTable does).
+lexicographically; callers should re-sort (CountTable does). The hash
+is emulated exactly here (:func:`jf_hash`): ``hash(key) = XOR of
+matrix1.columns[j] over set key bits, column j paired with key bit
+c-1-j (leftmost base first)``, hash width ``r = log2(size)``; all five
+bundled fixtures' record orders are ascending under it
+(tests/test_encode_and_jf.py), which is the validating evidence that
+:func:`write_jf`'s files follow Jellyfish's own sorted-layout
+geometry.
 """
 
 from __future__ import annotations
@@ -49,23 +56,51 @@ def read_header(path: str) -> dict:
     return obj
 
 
+def jf_hash(keys: np.ndarray, columns, c: int) -> np.ndarray:
+    """Jellyfish's GF(2) matrix hash, emulated: ``matrix1.columns[j]``
+    (an r-bit column vector) is XORed in when key bit ``c-1-j`` is set
+    — leftmost base pairs with the first column. Record order in every
+    ``binary/sorted`` file is ascending under this hash; verified
+    against all five bundled fixtures (tests/test_encode_and_jf.py)."""
+    keys = np.asarray(keys, dtype=np.uint64)
+    cols = np.asarray(columns, dtype=np.uint64)
+    out = np.zeros(len(keys), np.uint64)
+    for j in range(c):
+        bit = (keys >> np.uint64(c - 1 - j)) & np.uint64(1)
+        out ^= np.where(bit == 1, cols[j], np.uint64(0))
+    return out
+
+
+def _jf_matrix(key_len: int, r: int, seed: int = 0x6a66) -> list[int]:
+    """A deterministic full-entropy r-bit column set for write_jf's
+    matrix1 (Jellyfish draws its matrix randomly; files only require
+    that records sort by the resulting hash)."""
+    rng = np.random.default_rng(seed)
+    return [int(x) for x in
+            rng.integers(0, 1 << r, key_len, dtype=np.uint64)]
+
+
+# Jellyfish's quadratic reprobe schedule (triangular numbers), constant
+# across the bundled fixtures; carried verbatim for header parity
+_MAX_REPROBE = 126
+_REPROBES = [1] + [i * (i + 1) // 2 for i in range(1, _MAX_REPROBE + 1)]
+
+
 def write_jf(path: str, keys: np.ndarray, counts: np.ndarray, k: int,
              canonical: bool, cmdline=None) -> None:
     """Write a ``.jf`` count table (binary/sorted layout).
 
-    Produces the same record layout Jellyfish emits (9-digit ASCII header
+    Produces the record layout Jellyfish emits (9-digit ASCII header
     length, JSON header, then 8-byte LE packed key + ``counter_len``-byte
-    LE count per record; see module docstring). Records are written in
-    ascending key order and the header carries an identity (full-rank,
-    square) hashing matrix, i.e. hash(key) == key, so key order IS hash
-    order — the format's sorted invariant, and exactly what
-    ``read_jf``/``CountTable`` expect. Header fields follow the fixture
-    conventions where observable (``size`` a power of two, ``val_len`` in
-    bits), but files written here are verified readable only by km-tpu's
-    own reader: Jellyfish's C++ query tools derive their binary-search
-    geometry from ``size``/``matrix1`` in ways that cannot be validated in
-    this environment (no bindings), so cross-tool consumption is not
-    claimed. Replaces the persistence side of ``jellyfish count -o``
+    LE count per record; see module docstring) with Jellyfish's own
+    ordering/size geometry: ``r = log2(size)`` hash bits, an r-by-key_len
+    GF(2) ``matrix1``, and records ascending by :func:`jf_hash` — the
+    invariant the binary search of Jellyfish's query path walks, and the
+    one all five bundled fixtures verifiably follow (the validating
+    emulation asked for by the parity review). No Jellyfish binary exists
+    in this environment, so consumption by Jellyfish's own C++ tools is
+    emulation-validated rather than integration-tested. Replaces the
+    persistence side of ``jellyfish count -o``
     (reference: example/run_leucegene.sh:22) for ``km-tpu count`` tables.
     """
     keys = np.asarray(keys, dtype=np.uint64)
@@ -74,8 +109,6 @@ def write_jf(path: str, keys: np.ndarray, counts: np.ndarray, k: int,
         raise ValueError("keys and counts must have equal length")
     if k > 32:
         raise ValueError(f"k={k} > 32 not supported by the 64-bit key path")
-    order = np.argsort(keys, kind="stable")
-    keys, counts = keys[order], counts[order]
 
     counter_len = 4
     maxc = int(counts.max()) if len(counts) else 0
@@ -83,12 +116,13 @@ def write_jf(path: str, keys: np.ndarray, counts: np.ndarray, k: int,
         counter_len += 1
     val_len = max(1, maxc.bit_length())  # in bits, like jellyfish's -c
     key_len = 2 * k
-    # hash-table size: a power of two, like jellyfish sizes its hash
+    # hash-table size: a power of two, like jellyfish sizes its hash;
+    # r = log2(size) hash bits, the fixtures' geometry
     size = 1 << max(1, (2 * max(len(keys), 1) - 1).bit_length())
-    # identity GF(2) matrix: column i selects bit i (little-endian column
-    # vectors, one uint64 per column as jellyfish serializes r<=64 rows)
-    ident = {"c": key_len, "r": key_len,
-             "columns": [1 << (key_len - 1 - i) for i in range(key_len)]}
+    r = size.bit_length() - 1
+    columns = _jf_matrix(key_len, r)
+    order = np.argsort(jf_hash(keys, columns, key_len), kind="stable")
+    keys, counts = keys[order], counts[order]
     header = {
         "alignment": 8,
         "canonical": bool(canonical),
@@ -96,9 +130,9 @@ def write_jf(path: str, keys: np.ndarray, counts: np.ndarray, k: int,
         "counter_len": counter_len,
         "format": "binary/sorted",
         "key_len": key_len,
-        "matrix1": ident,
-        "max_reprobe": 0,
-        "reprobes": [0],
+        "matrix1": {"c": key_len, "r": r, "columns": columns},
+        "max_reprobe": _MAX_REPROBE,
+        "reprobes": _REPROBES,
         "size": size,
         "val_len": val_len,
     }

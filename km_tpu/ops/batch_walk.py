@@ -352,6 +352,14 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
     active = np.arange(n_seeds, dtype=np.int64)
     failed: set[int] = set()
 
+    # Compile-class normalization: every shape axis below is frozen at
+    # its first-iteration value (member/seed sets only shrink or grow
+    # within one run, monotonically), and the member array quantizes in
+    # x4 steps, so a never-seen catalog compiles the seed filter and
+    # the walk kernel ONCE each — not a fresh class per fixpoint
+    # iteration (minutes per class through a remote-compile link).
+    M_f = NS0_f = NS_f = WC_f = 0
+
     for _iteration in range(64):  # fixpoint iterations (typically 2)
         sizes = np.fromiter((len(order) for order in node_order),
                             dtype=np.int64, count=n_targets)
@@ -365,9 +373,16 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
         for t in range(n_targets):
             m_keys[bounds[t]:bounds[t + 1]].sort()
         mhi, mlo = split_keys(m_keys)
-        M = max(1 << 14, 1 << (len(m_keys) - 1).bit_length())
-        # the in-slice binary search converges in log2(largest slice)
-        member_rounds = int(sizes.max()).bit_length() + 1
+        # x4 quantization (even exponents): member growth across
+        # iterations rarely crosses a class boundary
+        b = max(16, (max(len(m_keys), 2) - 1).bit_length())
+        M = max(1 << (b + (b & 1)), M_f)
+        M_f = M
+        # the in-slice binary search converges in log2(largest slice);
+        # 15 covers every legal catalog (slices are node-budget-bounded
+        # at max_node=10000 < 2^14), so the static axis is a constant
+        # instead of a fresh compile class per catalog shape
+        member_rounds = max(15, int(sizes.max()).bit_length() + 1)
         pad = M - len(m_keys)
         mhi = np.concatenate([mhi, np.full(pad, 0xFFFFFFFF, np.uint32)])
         mlo = np.concatenate([mlo, np.full(pad, 0xFFFFFFFF, np.uint32)])
@@ -381,7 +396,8 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
         # reference k-mer whose children are all on the reference path),
         # so the walk itself only carries the interesting walklets
         na = len(active)
-        NS0 = max(1 << 10, 1 << (na - 1).bit_length())
+        NS0 = max(1 << 10, 1 << (na - 1).bit_length(), NS0_f)
+        NS0_f = NS0
         sp = NS0 - na
         a_tgt = jnp.asarray(np.concatenate(
             [seed_tgt[active], np.zeros(sp, np.int32)]))
@@ -400,14 +416,17 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
         if len(surv) == 0:
             break  # no seed can extend: a walk would commit nothing
         ns2 = len(surv)
-        NS = max(1 << 10, 1 << (ns2 - 1).bit_length())
+        NS = max(1 << 10, 1 << (ns2 - 1).bit_length(), NS_f)
+        NS_f = NS
         pad2 = NS - ns2
         s_tgt = np.concatenate([seed_tgt[surv], np.zeros(pad2, np.int32)])
         s_hi = np.concatenate([shi[surv], np.zeros(pad2, np.uint32)])
         s_lo = np.concatenate([slo[surv], np.zeros(pad2, np.uint32)])
         # walklet matrix sized to the survivors (every per-round op
-        # scans all WC rows, so spare slots are pure cost)
-        WC = min(walklet_cap, max(256, 1 << (ns2 - 1).bit_length()))
+        # scans all WC rows, so spare slots are pure cost); frozen at
+        # the first iteration's class like the other axes
+        WC = min(walklet_cap,
+                 max(256, 1 << (ns2 - 1).bit_length(), WC_f))
 
         while True:
             out = walk_kernel(
@@ -442,6 +461,7 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
                 copy_cap *= 2
                 commit_cap *= 2
                 log_cap *= 2
+        WC_f = WC  # an overflow-doubled class carries to later iterations
 
         # apply commits in log order
         changed = False

@@ -197,10 +197,19 @@ def sum_runs_device(rhi, rlo, rcnt):
     key's summed count stored in place at its run start (zeros
     elsewhere; consumers filter on ``count > 0``).
 
-    Scatter/gather-free segmented sum: sort by key, then a reverse
-    *segmented* inclusive scan (associative_scan over (sum, boundary)
-    pairs) leaves every run's total at its first element. Used to merge
-    counting runs after the all_to_all exchange (km_tpu.parallel)."""
+    Sort by key, then each run's total is a difference of (modular
+    int32) prefix sums gathered at the run's boundaries; the next run
+    boundary comes from one searchsorted over the (nondecreasing) run
+    ids. Every post-sort primitive here — cumsum, searchsorted, gather
+    — compiles in near-constant time, unlike the segmented
+    associative_scan this replaces, whose XLA compile time blew up
+    superlinearly with n (isolated in docs/COLDSTART.md; at the stream
+    path's (2^18 cap, 2^20 chunk) shape the scan alone compiled in 96s
+    vs 4.5s for cumsum). The int32 cumsum wraps mod 2^32, so each
+    difference is exact whenever a single run's true total < 2^31 —
+    the same per-run bound the scan formulation had. Used to merge
+    counting runs after the all_to_all exchange (km_tpu.parallel) and
+    by the streaming accumulator merge below."""
     import jax
     jnp = _jnp()
 
@@ -210,21 +219,14 @@ def sum_runs_device(rhi, rlo, rcnt):
         jnp.ones(1, dtype=bool),
         (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
     ])
-    # reverse segmented sum: flag[i] marks "i is the last element of its
-    # run" (i.e. i+1 starts a new run); the scan must not carry past it
-    flag = jnp.concatenate([new_run[1:], jnp.ones(1, dtype=bool)])
-
-    def seg(a, b):
-        # combine right-neighbour partial (a) into left element (b);
-        # reverse=True feeds neighbours right-to-left
-        a_s, a_f = a
-        b_s, b_f = b
-        return jnp.where(b_f, b_s, b_s + a_s), a_f | b_f
-
-    sums, _ = jax.lax.associative_scan(
-        seg, (scnt, flag), reverse=True)
-    totals = jnp.where(new_run, sums, 0)
-    return shi, slo, totals
+    rid = jnp.cumsum(new_run.astype(jnp.int32))  # 1-based, nondecreasing
+    # first index of the NEXT run (n for the last run)
+    nxt = jnp.searchsorted(rid, rid + 1, side="left").astype(jnp.int32)
+    s = jnp.cumsum(scnt)
+    s_pad = jnp.concatenate([jnp.zeros(1, s.dtype), s])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    totals = s_pad[nxt] - s_pad[pos]  # run total, exact mod-2^32
+    return shi, slo, jnp.where(new_run, totals, 0)
 
 
 def count_chunk_device(codes, valid, k: int, canonical: bool = True,
@@ -351,11 +353,14 @@ def merge_accum_device(acc_hi, acc_lo, acc_cnt, rhi, rlo, rcnt, C: int):
 
     The accumulator holds up to C unique keys (padding entries carry the
     sentinel key and count 0). Merge = concatenate, key entries with
-    count 0 to the sentinel, sort + segmented-sum (sum_runs_device),
-    then one stable flag-sort that compacts the surviving runs to the
-    front. Returns (hi, lo, cnt, n_unique) with arrays sliced back to
-    capacity C; n_unique > C means the capacity overflowed and the
-    result is truncated (callers grow C and retry or fall back)."""
+    count 0 to the sentinel, sort + run-boundary sum (sum_runs_device),
+    then compact the survivors to the front with a searchsorted gather
+    — the input is already in key order, so the j-th survivor sits at
+    the first index where cumsum(alive) == j+1; no second sort (the
+    flag-sort this replaces was ~1/3 of the merge's blown-up compile,
+    docs/COLDSTART.md). Returns (hi, lo, cnt, n_unique) at capacity C;
+    n_unique > C means the capacity overflowed and the result is
+    truncated (callers grow C and retry or fall back)."""
     import jax
     jnp = _jnp()
 
@@ -368,12 +373,16 @@ def merge_accum_device(acc_hi, acc_lo, acc_cnt, rhi, rlo, rcnt, C: int):
     lo = jnp.where(dead, sent, lo)
     shi, slo, scnt = sum_runs_device(hi, lo, cnt)
     alive = (scnt > 0) & ~((shi == sent) & (slo == sent))
-    # stable sort on the dead flag compacts survivors to the front in
-    # key order (lax.sort is stable)
-    _, chi, clo, ccnt = jax.lax.sort(
-        ((~alive).astype(jnp.int32), shi, slo, scnt), num_keys=1)
-    n_unique = alive.sum()
-    return chi[:C], clo[:C], ccnt[:C], n_unique
+    cs = jnp.cumsum(alive.astype(jnp.int32))
+    n_unique = cs[-1]
+    src = jnp.searchsorted(cs, jnp.arange(1, C + 1, dtype=jnp.int32),
+                           side="left").astype(jnp.int32)
+    src = jnp.minimum(src, shi.shape[0] - 1)
+    live_out = jnp.arange(C, dtype=jnp.int32) < n_unique
+    chi = jnp.where(live_out, shi[src], sent)
+    clo = jnp.where(live_out, slo[src], sent)
+    ccnt = jnp.where(live_out, scnt[src], 0)
+    return chi, clo, ccnt, n_unique
 
 
 def _jitted_count_merge(k: int, canonical: bool, C: int, n: int):

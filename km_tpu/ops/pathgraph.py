@@ -16,7 +16,11 @@ Edge weights ride inside the successor table: real graphs use only a
 handful of distinct weights (1.0 overlap / 0.01 reference-path,
 km/utils/Graph.py:41-61,133-151), so each bucket carries a <=16-entry
 float32 palette and each successor entry packs (node_id, palette_code)
-into one int16 — the whole catalog's adjacency uploads in a couple MB.
+into one integer: int16 for graphs up to 2048 nodes (the whole
+catalog's adjacency uploads in a couple MB) and int32 beyond, up to
+MAX_DEVICE_NODES = 16384 — past the reference's own hard cap of
+max_node = 10000 (km/utils/MutationFinder.py:143-148), so every legal
+graph runs on the device.
 
 The iteration is step-for-step the reference algorithm, not an
 approximation: extraction = argmin over a working distance array whose
@@ -29,10 +33,11 @@ EQUAL (not approximately) to the host sweeps across the bundled fixtures
 and adversarial random graphs (tests/test_pathgraph.py); splicing and
 ref-edge removal stay on host (km_tpu.models.pathfinder).
 
-Graphs that don't fit the device formulation (over MAX_DENSE_NODES
-nodes, degree over MAX_WIDTH, or more than 16 distinct edge weights)
-fall back to the host sweep with a log line; none of the bundled or
-catalog workloads hit the fallback.
+Graphs that don't fit the device formulation (over MAX_DEVICE_NODES
+nodes — impossible for a legal km run, the node budget exits first —
+degree over MAX_WIDTH, or more than 16 distinct edge weights) fall
+back to the host sweep with a log line; none of the bundled or catalog
+workloads hit the fallback.
 """
 
 from __future__ import annotations
@@ -44,7 +49,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-MAX_DENSE_NODES = 2048  # node-id budget of the int16 packing below
+MAX_INT16_NODES = 2048   # node-id budget of the compact int16 packing
+MAX_DEVICE_NODES = 16384  # int32 packing bound; > max_node=10000 + caps
 MAX_WIDTH = 64  # degree cap for the fixed-width successor table
 PALETTE = 16  # distinct edge weights per bucket (catalog uses 2)
 
@@ -97,10 +103,15 @@ def sweep_kernel(packed, palette, starts, *, n, W):
 
 
 def _pack_bucket(sweeps, n_pad, W, uniq):
-    """Pack many sweeps' CSR adjacencies into one [B, n_pad, W] int16
-    successor table in a handful of global numpy ops (per-sweep work is
-    just array bookkeeping — the hot fill is one fancy-index write)."""
-    B = max(8, 1 << int(np.ceil(np.log2(max(len(sweeps), 2)))))
+    """Pack many sweeps' CSR adjacencies into one [B, n_pad, W]
+    successor table (int16 when node ids fit MAX_INT16_NODES, int32 up
+    to MAX_DEVICE_NODES) in a handful of global numpy ops (per-sweep
+    work is just array bookkeeping — the hot fill is one fancy-index
+    write). Big graphs pad B to 2, not 8: a 16k-node sweep's lockstep
+    iterations are expensive enough that ghost batch rows matter."""
+    b_min = 8 if n_pad <= MAX_INT16_NODES else 2
+    B = max(b_min, 1 << int(np.ceil(np.log2(max(len(sweeps), 2)))))
+    dtype = np.int16 if n_pad <= MAX_INT16_NODES else np.int32
     deg_parts, row_parts, ids_parts, w_parts = [], [], [], []
     for s, (n, ptr, ids_flat, w_flat) in enumerate(sweeps):
         deg_parts.append(ptr[1:] - ptr[:-1])
@@ -113,7 +124,7 @@ def _pack_bucket(sweeps, n_pad, W, uniq):
     codes = np.searchsorted(uniq, np.concatenate(w_parts))
     starts = np.cumsum(deg) - deg
     lane = np.arange(len(ids_all), dtype=np.int64) - np.repeat(starts, deg)
-    flat = np.full(B * n_pad * W, -1, np.int16)
+    flat = np.full(B * n_pad * W, -1, dtype)
     flat[rows * W + lane] = ids_all * PALETTE + codes
     return flat.reshape(B, n_pad, W)
 
@@ -140,7 +151,7 @@ def batched_sweeps(graphs):
         deg_r = int((g.pred_ptr[1:] - g.pred_ptr[:-1]).max()) if g.n else 0
         uniq_g = np.unique(g.succ_w) if len(g.succ_w) \
             else np.empty(0, np.float32)
-        if g.n > MAX_DENSE_NODES or max(deg_f, deg_r) > MAX_WIDTH \
+        if g.n > MAX_DEVICE_NODES or max(deg_f, deg_r) > MAX_WIDTH \
                 or len(uniq_g) > PALETTE:
             log.info("pathgraph: graph (n=%d deg=%d weights=%d) exceeds "
                      "the device formulation, host sweep",

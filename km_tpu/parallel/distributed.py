@@ -33,22 +33,31 @@ def initialize(coordinator_address: str | None = None,
     explicit = (coordinator_address is not None or num_processes is not None
                 or "JAX_COORDINATOR_ADDRESS" in os.environ
                 or "COORDINATOR_ADDRESS" in os.environ)
+    if jax.distributed.is_initialized():
+        log.info("jax.distributed already initialized; skipping")
+        return
     if not explicit:
-        from jax._src import xla_bridge
         workers = [h for h in
                    os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",")
                    if h.strip()]
-        single_env = len(workers) <= 1  # zero or one worker: nothing to do
-        if single_env or xla_bridge.backends_are_initialized():
-            # Nothing to coordinate (single host), or the backend is
-            # already live (initialize must precede any JAX call) — a
-            # no-op keeps library callers safe in both cases.
-            log.info("single-host/late call: skipping jax.distributed."
-                     "initialize")
+        if len(workers) <= 1:  # zero or one worker: nothing to do
+            log.info("single-host environment: skipping "
+                     "jax.distributed.initialize")
             return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        if explicit:
+            raise
+        # the only implicit-path failure is calling after a backend is
+        # already live (initialize must precede any JAX call); a no-op
+        # keeps library callers safe there, like the reference's
+        # libraries tolerate being driven from any shell context
+        log.info("late call (backend already live): skipping "
+                 "jax.distributed.initialize")
+        return
     log.info("jax.distributed initialized: process %d of %d",
              jax.process_index(), jax.process_count())
 

@@ -26,11 +26,14 @@ def count_read_files(paths, k: int, canonical: bool = True,
 
     device: 'auto' (host for tiny inputs, device otherwise), 'host',
     or any accelerator choice. mode picks the device strategy:
-    'stream' (single device-resident accumulator, one readback — best
-    on directly-attached chips), 'chunked' (per-chunk compacted
-    readbacks + native host merge — default on the tunneled backend,
-    whose remote compile of the big fused stream program blows up
-    superlinearly; docs/COLDSTART.md), 'auto' picks per backend.
+    'stream' (single device-resident accumulator, one readback — the
+    default everywhere since the accumulator merge's compile blowup
+    was root-caused to its segmented associative_scan and fixed;
+    compiles now measure flat, 42s->54s from 1M to 21M elements even
+    through a remote-compile tunnel, docs/COLDSTART.md) or 'chunked'
+    (per-chunk compacted readbacks + native host k-way merge — no
+    device-side capacity to size, useful when host RAM is the roomier
+    resource). 'auto' = 'stream'.
     """
     batches = read_batches(paths, min_quality=min_quality)
 
@@ -67,7 +70,7 @@ def count_read_files(paths, k: int, canonical: bool = True,
                              canonical=canonical, min_count=min_count)
 
     if mode == "auto":
-        mode = "chunked" if jax.default_backend() == "axon" else "stream"
+        mode = "stream"
     if mode == "chunked":
         return opcount.count_batches_device_compact(
             batches, k, canonical=canonical, min_count=min_count)

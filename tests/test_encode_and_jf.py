@@ -100,11 +100,36 @@ def test_jf_writer_roundtrip(tmp_path):
     t2 = CountTable.from_jf(p)
     assert t2.k == t.k and t2.canonical == t.canonical
     assert (t2.keys == t.keys).all() and (t2.counts == t.counts).all()
-    # header sanity: data offset 8-aligned, identity hash matrix
+    # header geometry follows Jellyfish's own conventions: r hash bits
+    # = log2(size), an r-by-key_len matrix, records ascending by hash
+    from km_tpu.io.jf import jf_hash
+
     data = read_jf(p)
     assert data.header["format"] == "binary/sorted"
-    cols = data.header["matrix1"]["columns"]
-    assert len(cols) == 2 * t.k and cols[0] == 1 << (2 * t.k - 1)
+    m = data.header["matrix1"]
+    assert m["c"] == 2 * t.k
+    assert m["r"] == data.header["size"].bit_length() - 1
+    assert len(m["columns"]) == 2 * t.k
+    h = jf_hash(data.keys, m["columns"], m["c"])
+    assert (h[1:] >= h[:-1]).all()
+
+
+def test_fixture_jf_files_are_matrix_hash_ordered():
+    """The validating emulation of Jellyfish's sorted layout: every
+    bundled fixture's record order is ascending under jf_hash with the
+    file's own matrix1 — the invariant write_jf reproduces and
+    Jellyfish's binary-search query path relies on."""
+    from km_tpu.io.jf import jf_hash, read_jf as _read_jf
+
+    for name in ("02H025_NPM1", "03H116_ITD", "03H112_IandI",
+                 "05H094_FLT3-TKD_del", "02H033_DNMT3A_sub"):
+        d = _read_jf(f"{REFDATA}/jf/{name}.jf")
+        m = d.header["matrix1"]
+        assert m["r"] == d.header["size"].bit_length() - 1, name
+        h = jf_hash(d.keys, m["columns"], m["c"])
+        assert (h[1:] >= h[:-1]).all(), name
+        # keys are NOT lexicographically sorted — the hash order is real
+        assert not (d.keys[1:] >= d.keys[:-1]).all(), name
 
 
 def test_jf_writer_wide_counts(tmp_path):
@@ -118,8 +143,8 @@ def test_jf_writer_wide_counts(tmp_path):
     hdr = read_header(p)
     assert hdr["counter_len"] == 5
     d = read_jf(p)
-    assert list(d.keys) == [5, 9, 21]
-    assert int(d.counts[2]) == 1 << 33
+    assert sorted(d.keys) == [5, 9, 21]
+    assert int(d.counts[list(d.keys).index(21)]) == 1 << 33
 
 
 def test_count_table_save_jf_pipeline(tmp_path):

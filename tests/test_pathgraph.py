@@ -148,6 +148,41 @@ def test_outlier_graphs_do_not_degrade_neighbors():
         assert np.array_equal(ha, da)
 
 
+def test_max_node_scale_graph_runs_on_device():
+    """A graph at km's legal ceiling (`-n 10000`,
+    reference: km/argparser/find_mutation.py:33-39) must take the
+    device sweep — not silently fall back to the host O(N^2) loop —
+    and return exact predecessor trees (the int32 packing tier past
+    MAX_INT16_NODES)."""
+    import logging
+
+    from km_tpu.ops import pathgraph
+
+    rng = np.random.default_rng(13)
+    g = _random_graph(rng, 10000, [1.0, 0.01], max_extra_deg=3)
+    assert g.n > pathgraph.MAX_INT16_NODES
+    assert g.n <= pathgraph.MAX_DEVICE_NODES
+
+    records = []
+
+    class Catch(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = Catch()
+    logging.getLogger().addHandler(h)
+    try:
+        dev = batched_sweeps([g])
+    finally:
+        logging.getLogger().removeHandler(h)
+    assert not any("host sweep" in m for m in records), records
+
+    hb, ha = _host_trees(g)
+    db, da = dev[0]
+    assert np.array_equal(hb, db)
+    assert np.array_equal(ha, da)
+
+
 def test_mixed_width_graphs_group_by_lane_width():
     """Graphs of different max degree still return exact trees when
     batched together (grouping never mixes lane widths)."""
