@@ -207,7 +207,7 @@ def stage_devwalk(n_targets: int = 400):
             "device_rows_match_host": bool(match)}
 
 
-def stage_e2e(target_mb: int = 16):
+def stage_e2e(target_mb: int = 64):
     """End-to-end counting on a real file: FASTQ bytes on disk -> parse
     (native C++) -> 2-bit packed upload -> one fused device dispatch per
     chunk (unpack + count + merge into a device-resident accumulator) ->
@@ -229,14 +229,11 @@ def stage_e2e(target_mb: int = 16):
         path = "/tmp/km_tpu_bench_ref_%dmb.fastq" % target_mb
         _ensure_synthetic_fastq(path, target_mb)
 
-    # default: chunked device counting + native host k-way merge. The
-    # fused stream-accumulator kernel (count_batches_device_stream, the
-    # CLI default) is the better design on a directly-attached chip,
-    # but its single large program's remote compile was observed to
-    # hang >50 min on this tunneled link (one pending RPC, zero
-    # progress), while the chunked path's program compiles like the
-    # headline counting kernel. KM_TPU_E2E_MODE=stream opts back in.
-    mode = os.environ.get("KM_TPU_E2E_MODE", "chunked")
+    # default: the fused stream accumulator (one readback total), the
+    # CLI's own default since its merge-program compile blowup was
+    # root-caused and fixed (docs/COLDSTART.md); KM_TPU_E2E_MODE=chunked
+    # selects the per-chunk-readback + native host k-way merge path
+    mode = os.environ.get("KM_TPU_E2E_MODE", "stream")
     t0 = time.perf_counter()
     batches = read_batches([path], min_quality="+")
     if mode == "chunked":

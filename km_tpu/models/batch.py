@@ -197,15 +197,21 @@ def run_catalog(targets: list[TargetSeq], table, ratio=0.05, count=5,
         quant = walk
     if pathing == "auto":
         pathing = walk
+    fetch_counts = None
     if walk == "device":
         from ..ops.batch_walk import device_discover
 
         dev = (table if isinstance(table, DeviceCountTable)
                else DeviceCountTable.from_host(table))
-        node_datas = device_discover(
+        # counts resolve asynchronously: the query is dispatched inside
+        # device_discover and read back only after the (host-side)
+        # graph building below — the round trip rides under host work
+        orders, fetch_counts = device_discover(
             [t.ref_mer for t in targets], dev, ratio=ratio, count=count,
             max_stack=max_stack, max_break=max_break, max_node=max_node,
-            on_budget=on_budget)
+            on_budget=on_budget, defer_counts=True)
+        node_datas = [None if o is None else dict.fromkeys(o, 0)
+                      for o in orders]
     else:
         node_datas = batch_discover(targets, table, ratio=ratio,
                                     count=count, max_stack=max_stack,
@@ -232,6 +238,13 @@ def run_catalog(targets: list[TargetSeq], table, ratio=0.05, count=5,
     else:
         for finder in live:
             finder.find_alt_paths()
+
+    if fetch_counts is not None:
+        # the deferred count readback lands now, after graph building
+        # and path enumeration (neither needs counts)
+        for finder, node_data in zip(finders, fetch_counts()):
+            if finder is not None:
+                finder.counts = list(node_data.values()) + [-1, -1]
 
     if quant == "device" and not graphical:
         from ..ops import nnls

@@ -81,19 +81,20 @@ def _member_lookup(member_bounds, member_hi, member_lo, member_rounds,
             & (member_lo[pos] == clo))
 
 
-@partial(jax.jit, static_argnames=(
-    "prefix_bits", "rounds", "k", "canonical", "member_rounds"))
-def seed_filter_kernel(keys_hi, keys_lo, counts, bucket_starts,
-                       member_bounds, member_hi, member_lo,
-                       seed_tgt, seed_hi, seed_lo, ratio, n_cutoff,
-                       *, prefix_bits, rounds, k, canonical,
-                       member_rounds):
-    """One batched pass over a set of seeds: a seed whose children are
-    all known (member set or the seed itself) dies in its first walk
-    round with no side effects — depth-1 walklets can neither commit
-    (commits need depth >= 2) nor exhaust the branch budget (one event
-    <= 10) — so only seeds with at least one unknown child need walklet
-    slots. Returns that keep mask."""
+def _seed_filter(keys_hi, keys_lo, counts, bucket_starts,
+                 member_bounds, member_hi, member_lo,
+                 seed_tgt, seed_hi, seed_lo, n_act, ratio, n_cutoff,
+                 *, prefix_bits, rounds, k, canonical, member_rounds):
+    """Batched seed filter: a seed whose children are all known (member
+    set or the seed itself) dies in its first walk round with no side
+    effects — depth-1 walklets can neither commit (commits need depth
+    >= 2) nor exhaust the branch budget (one event <= 10) — so only
+    seeds with at least one unknown child need walklet slots. Returns
+    the keep mask. Runs INSIDE walk_kernel (fused: the filter verdict
+    never visits the host, saving a dispatch round trip per fixpoint
+    iteration on a high-latency link)."""
+    import jax.numpy as jnp
+
     chi, clo, _cnt, kid_mask = children_kernel(
         keys_hi, keys_lo, counts, bucket_starts, seed_hi, seed_lo,
         ratio, n_cutoff, prefix_bits=prefix_bits, rounds=rounds,
@@ -101,7 +102,8 @@ def seed_filter_kernel(keys_hi, keys_lo, counts, bucket_starts,
     known = _member_lookup(member_bounds, member_hi, member_lo,
                            member_rounds, seed_tgt[:, None], chi, clo)
     self_loop = (chi == seed_hi[:, None]) & (clo == seed_lo[:, None])
-    return (kid_mask & ~known & ~self_loop).any(axis=1)
+    in_range = jnp.arange(seed_hi.shape[0], dtype=jnp.int32) < n_act
+    return (kid_mask & ~known & ~self_loop).any(axis=1) & in_range
 
 
 @partial(jax.jit, static_argnames=(
@@ -110,17 +112,40 @@ def seed_filter_kernel(keys_hi, keys_lo, counts, bucket_starts,
     "WC", "S"))
 def walk_kernel(keys_hi, keys_lo, counts, bucket_starts,
                 member_bounds, member_hi, member_lo,
-                seed_tgt, seed_hi, seed_lo, n_seeds,
+                seed_tgt, seed_hi, seed_lo, n_act,
                 ratio, n_cutoff,
                 *, WC, S, prefix_bits, rounds, k, canonical, max_stack,
                 max_break, member_rounds, hard_rounds, copy_cap,
                 commit_cap, log_cap):
-    """One fixpoint iteration of the device walk. Returns one packed
-    uint32 vector: [log_count, buffer_overflow, depth_overflow (a
-    walklet needed more than S stack rows while max_stack allowed
-    deeper — host retries with S doubled), round_count] followed by
+    """One fixpoint iteration of the device walk, with the seed filter
+    FUSED in front: the kernel receives all currently-active seeds,
+    filters them (see _seed_filter), compacts the survivors on device,
+    and walks only those — one dispatch and one readback per fixpoint
+    iteration instead of two of each. Returns one packed uint32
+    vector: [log_count, buffer_overflow, depth_overflow (a walklet
+    needed more than S stack rows while max_stack allowed deeper —
+    host retries with S doubled), round_count] followed by
     log_tgt[log_cap], log_depth[log_cap], log_hi[log_cap*S],
-    log_lo[log_cap*S]."""
+    log_lo[log_cap*S], keep_bits[NS/32] (the filter verdict, 32 seeds
+    per uint32 little-endian — the host's next active set)."""
+    NS = seed_hi.shape[0]
+    keep = _seed_filter(
+        keys_hi, keys_lo, counts, bucket_starts, member_bounds,
+        member_hi, member_lo, seed_tgt, seed_hi, seed_lo, n_act,
+        ratio, n_cutoff, prefix_bits=prefix_bits, rounds=rounds, k=k,
+        canonical=canonical, member_rounds=member_rounds)
+    # stable on-device compaction of the survivors
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    n_seeds = keep.sum()
+    slot = jnp.where(keep, rank, NS)
+    surv_tgt = jnp.zeros(NS + 1, jnp.int32).at[slot].set(seed_tgt)[:NS]
+    surv_hi = jnp.zeros(NS + 1, jnp.uint32).at[slot].set(seed_hi)[:NS]
+    surv_lo = jnp.zeros(NS + 1, jnp.uint32).at[slot].set(seed_lo)[:NS]
+    seed_tgt, seed_hi, seed_lo = surv_tgt, surv_hi, surv_lo
+    keep_bits = (keep.reshape(-1, 32).astype(jnp.uint32)
+                 << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+                     axis=1, dtype=jnp.uint32)
+
     lanes = jnp.arange(4, dtype=jnp.int32)
     rows = jnp.arange(WC, dtype=jnp.int32)
     cols = jnp.arange(S, dtype=jnp.int32)
@@ -298,7 +323,7 @@ def walk_kernel(keys_hi, keys_lo, counts, bucket_starts,
                    depth_ovf.astype(jnp.uint32),
                    rnd.astype(jnp.uint32)]),
         log_tgt.astype(jnp.uint32), log_depth.astype(jnp.uint32),
-        log_hi.reshape(-1), log_lo.reshape(-1)])
+        log_hi.reshape(-1), log_lo.reshape(-1), keep_bits])
 
 
 # stack depth that sufficed last time (per process): starting at the
@@ -309,7 +334,8 @@ _learned_stack_cap = 64
 def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
                     count=5, max_stack=500, max_break=10, max_node=10000,
                     walklet_cap=2048, copy_cap=128, commit_cap=128,
-                    log_cap=512, stack_cap=None, on_budget="raise"):
+                    log_cap=512, stack_cap=None, on_budget="raise",
+                    defer_counts=False):
     """Fixpoint driver for the device walk.
 
     targets_mers: per-target ordered unique packed ref k-mers (uint64).
@@ -318,6 +344,12 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
     on_budget='skip', a target that outgrows max_node returns None
     instead of aborting the whole batch (models.batch.run_catalog
     documents the semantics).
+
+    defer_counts=True instead returns (orders, fetch): per-target
+    ordered key lists (None for budget-failed targets) with the count
+    resolution *dispatched but not read back* — fetch() materializes
+    the {kmer: count} dicts later, so the caller can overlap host work
+    (graph building) with the device query's round trip.
     """
     from .device_table import split_keys
     from ..models.walk import NodeBudgetExceeded
@@ -355,10 +387,10 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
     # Compile-class normalization: every shape axis below is frozen at
     # its first-iteration value (member/seed sets only shrink or grow
     # within one run, monotonically), and the member array quantizes in
-    # x4 steps, so a never-seen catalog compiles the seed filter and
-    # the walk kernel ONCE each — not a fresh class per fixpoint
-    # iteration (minutes per class through a remote-compile link).
-    M_f = NS0_f = NS_f = WC_f = 0
+    # x4 steps, so a never-seen catalog compiles the (filter-fused)
+    # walk kernel ONCE — not a fresh class per fixpoint iteration
+    # (minutes per class through a remote-compile link).
+    M_f = NS_f = WC_f = 0
 
     for _iteration in range(64):  # fixpoint iterations (typically 2)
         sizes = np.fromiter((len(order) for order in node_order),
@@ -391,50 +423,31 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
         jm_hi = jnp.asarray(mhi)
         jm_lo = jnp.asarray(mlo)
 
-        # one batched filter pass kills the seeds that would die in
-        # their first walk round (the vast majority: every interior
-        # reference k-mer whose children are all on the reference path),
-        # so the walk itself only carries the interesting walklets
+        # all active seeds go to the walk kernel; its fused filter pass
+        # kills the seeds that would die in their first walk round (the
+        # vast majority: every interior reference k-mer whose children
+        # are all on the reference path) and walks only the survivors —
+        # one dispatch per fixpoint iteration
         na = len(active)
-        NS0 = max(1 << 10, 1 << (na - 1).bit_length(), NS0_f)
-        NS0_f = NS0
-        sp = NS0 - na
-        a_tgt = jnp.asarray(np.concatenate(
-            [seed_tgt[active], np.zeros(sp, np.int32)]))
-        a_hi = jnp.asarray(np.concatenate(
-            [shi[active], np.zeros(sp, np.uint32)]))
-        a_lo = jnp.asarray(np.concatenate(
-            [slo[active], np.zeros(sp, np.uint32)]))
-        keep = np.asarray(seed_filter_kernel(
-            table.keys_hi, table.keys_lo, table.counts,
-            table.bucket_starts, jm_bounds, jm_hi, jm_lo,
-            a_tgt, a_hi, a_lo, jnp.float32(ratio), jnp.int32(count),
-            prefix_bits=table.prefix_bits, rounds=table.rounds,
-            k=table.k, canonical=table.canonical,
-            member_rounds=member_rounds))[:na]
-        surv = active[np.flatnonzero(keep)]
-        if len(surv) == 0:
-            break  # no seed can extend: a walk would commit nothing
-        ns2 = len(surv)
-        NS = max(1 << 10, 1 << (ns2 - 1).bit_length(), NS_f)
+        NS = max(1 << 10, 1 << (na - 1).bit_length(), NS_f)
         NS_f = NS
-        pad2 = NS - ns2
-        s_tgt = np.concatenate([seed_tgt[surv], np.zeros(pad2, np.int32)])
-        s_hi = np.concatenate([shi[surv], np.zeros(pad2, np.uint32)])
-        s_lo = np.concatenate([slo[surv], np.zeros(pad2, np.uint32)])
-        # walklet matrix sized to the survivors (every per-round op
-        # scans all WC rows, so spare slots are pure cost); frozen at
-        # the first iteration's class like the other axes
-        WC = min(walklet_cap,
-                 max(256, 1 << (ns2 - 1).bit_length(), WC_f))
+        sp = NS - na
+        a_tgt = np.concatenate([seed_tgt[active], np.zeros(sp, np.int32)])
+        a_hi = np.concatenate([shi[active], np.zeros(sp, np.uint32)])
+        a_lo = np.concatenate([slo[active], np.zeros(sp, np.uint32)])
+        # walklet pool fixed at walklet_cap: the survivor count is only
+        # known on device now; spare rows cost device-internal rounds,
+        # never a dispatch, while a survivor-sized WC would cost a
+        # compile class per size
+        WC = max(walklet_cap, WC_f)
 
         while True:
             out = walk_kernel(
                 table.keys_hi, table.keys_lo, table.counts,
                 table.bucket_starts,
                 jm_bounds, jm_hi, jm_lo,
-                jnp.asarray(s_tgt), jnp.asarray(s_hi), jnp.asarray(s_lo),
-                jnp.int32(ns2), jnp.float32(ratio), jnp.int32(count),
+                jnp.asarray(a_tgt), jnp.asarray(a_hi), jnp.asarray(a_lo),
+                jnp.int32(na), jnp.float32(ratio), jnp.int32(count),
                 WC=WC, S=S,
                 prefix_bits=table.prefix_bits, rounds=table.rounds,
                 k=table.k, canonical=table.canonical, max_stack=max_stack,
@@ -452,6 +465,8 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
             c_hi = buf[off:off + log_cap * S].reshape(log_cap, S)
             off += log_cap * S
             c_lo = buf[off:off + log_cap * S].reshape(log_cap, S)
+            off += log_cap * S
+            keep_words = buf[off:off + NS // 32]
             if not overflow and not depth_ovf:
                 break
             if depth_ovf:
@@ -462,6 +477,10 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
                 commit_cap *= 2
                 log_cap *= 2
         WC_f = WC  # an overflow-doubled class carries to later iterations
+        keep_mask = (((keep_words[:, None]
+                       >> np.arange(32, dtype=np.uint32)) & 1)
+                     .astype(bool).reshape(-1)[:na])
+        surv = active[keep_mask]
 
         # apply commits in log order
         changed = False
@@ -493,19 +512,38 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
 
     _learned_stack_cap = S  # next call starts at the depth that sufficed
 
-    # count resolution: one batched query across every target
+    # count resolution: one batched query across every target,
+    # DISPATCHED here; the readback happens in _materialize (or right
+    # away unless defer_counts)
     all_keys = np.concatenate([
         np.array(order, dtype=np.uint64) for order in node_order]) \
         if node_order else np.empty(0, np.uint64)
-    all_counts = table.query_packed(all_keys) if len(all_keys) else all_keys
-    results = []
-    off = 0
-    for t, order in enumerate(node_order):
-        n = len(order)
-        # dict(zip(...)) over ready python lists runs at C speed; the
-        # elementwise int() comprehension it replaces was ~25% of the
-        # whole warm walk on a 400-target catalog
-        results.append(None if t in failed else
-                       dict(zip(order, all_counts[off:off + n].tolist())))
-        off += n
-    return results
+    dev_counts = None
+    n_all = len(all_keys)
+    if n_all:
+        padded = max(64, 1 << (n_all - 1).bit_length())
+        buf = np.zeros(padded, dtype=np.uint64)
+        buf[:n_all] = all_keys
+        qhi, qlo = split_keys(buf)
+        dev_counts = table.lookup(jnp.asarray(qhi), jnp.asarray(qlo))
+
+    def _materialize():
+        counts = (np.asarray(dev_counts).astype(np.int64)[:n_all]
+                  if dev_counts is not None else np.empty(0, np.int64))
+        results = []
+        off = 0
+        for t, order in enumerate(node_order):
+            n = len(order)
+            # dict(zip(...)) over ready python lists runs at C speed;
+            # the elementwise int() comprehension it replaces was ~25%
+            # of the whole warm walk on a 400-target catalog
+            results.append(None if t in failed else
+                           dict(zip(order, counts[off:off + n].tolist())))
+            off += n
+        return results
+
+    if defer_counts:
+        orders = [None if t in failed else node_order[t]
+                  for t in range(n_targets)]
+        return orders, _materialize
+    return _materialize()

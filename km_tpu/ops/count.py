@@ -303,12 +303,12 @@ def count_chunk_device(codes, valid, k: int, canonical: bool = True,
             hi = jnp.concatenate([hi, pad])
             lo = jnp.concatenate([lo, pad])
         interp = jax.default_backend() == "cpu"
-        shi, slo = pallas_sort.sort_chunks(hi, lo, chunk=sort_chunk,
-                                           interpret=interp)
-        rhi, rlo, lengths = runs_from_sorted_chunked(shi, slo, sort_chunk)
-    else:
-        shi, slo = jax.lax.sort((hi, lo), num_keys=2)
-        rhi, rlo, lengths = runs_from_sorted(shi, slo)
+        # fused kernel: sort + run detection + sentinel zeroing in one
+        # VMEM residency — no post-sort XLA passes over HBM
+        return pallas_sort.sort_chunks_runs(hi, lo, chunk=sort_chunk,
+                                            interpret=interp)
+    shi, slo = jax.lax.sort((hi, lo), num_keys=2)
+    rhi, rlo, lengths = runs_from_sorted(shi, slo)
     # kill the sentinel runs (invalid windows / end padding)
     is_sent = (rhi == sentinel) & (rlo == sentinel)
     return rhi, rlo, jnp.where(is_sent, 0, lengths)

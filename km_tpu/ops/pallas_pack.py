@@ -84,18 +84,38 @@ def _pack_kernel(cur_ref, tail_ref, vcur_ref, vtail_ref, hi_ref, lo_ref,
         axis=0)
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
 
+    # log-doubling pack: after the step for span s, w[p] holds bases
+    # p..p+2s-1 and avs[2s][p] their joint validity — 4 shifted reads
+    # to a full 16-base word instead of one per base (the per-base
+    # formulation's 62 shifted reads were ~half the whole counting
+    # pipeline's device time)
     lo_bases = min(k, 16)
     hi_bases = k - lo_bases
-    hi = jnp.zeros_like(x)
-    lo = jnp.zeros_like(x)
-    allv = jnp.ones_like(v)
-    for j in range(k):
-        s = _shifted(x, j, lane)
-        if j < hi_bases:
-            hi = (hi << jnp.uint32(2)) | s
+    w = x
+    av = v
+    avs = {1: v}
+    span = 1
+    while span < min(k, 16):
+        w = (w << jnp.uint32(2 * span)) | _shifted(w, span, lane)
+        av = av & _shifted(av, span, lane)
+        span *= 2
+        avs[span] = av
+    # w[p] = bases p..p+span-1 packed in the top 2*span bits of 32
+
+    if k >= 16:
+        # hi = first hi_bases bases; lo = 16 bases from p+hi_bases
+        hi = (w >> jnp.uint32(2 * (16 - hi_bases))) if hi_bases < 16 else w
+        if hi_bases == 0:
+            lo = w
         else:
-            lo = (lo << jnp.uint32(2)) | s
-        allv = allv & _shifted(v, j, lane)
+            lo = _shifted(w, hi_bases, lane)
+    else:
+        hi = jnp.zeros_like(w)
+        lo = w >> jnp.uint32(2 * (span - k))
+    # validity over k bases: two overlapping pow2 spans cover any k
+    # (s = largest built span <= k, and k - s <= s)
+    s = min(16, 1 << (k.bit_length() - 1))
+    allv = avs[s] if k == s else (avs[s] & _shifted(avs[s], k - s, lane))
 
     if canonical:
         rhi, rlo = _revcomp_split(hi, lo, k)

@@ -64,7 +64,7 @@ def test_second_process_hits_cache_for_walk_kernels(tmp_path):
     assert os.listdir(cache), "first process wrote nothing to the cache"
     # the first process may hit nothing (fresh dir)
     log2 = _run(cache)
-    for kernel in ("jit_walk_kernel", "jit_seed_filter_kernel"):
+    for kernel in ("jit_walk_kernel",):  # seed filter is fused into it
         assert ("Persistent compilation cache hit for '%s'" % kernel
                 in log2), (
             "second process recompiled %s — cache key unstable across "

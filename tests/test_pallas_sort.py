@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from km_tpu.ops import encode
 from km_tpu.ops.count import count_batches_host, count_chunk_device
-from km_tpu.ops.pallas_sort import sort_chunks, supported
+from km_tpu.ops.pallas_sort import sort_chunks, sort_chunks_runs, supported
 
 
 @pytest.mark.parametrize("chunk,n_chunks", [(1024, 1), (4096, 3)])
@@ -27,6 +27,34 @@ def test_sort_chunks_matches_numpy(chunk, n_chunks):
         want = np.sort((hi[s].astype(np.uint64) << 32) | lo[s])
         got = (shi[s].astype(np.uint64) << 32) | slo[s]
         assert (want == got).all()
+
+
+@pytest.mark.parametrize("chunk,n_chunks", [(1024, 1), (4096, 3)])
+def test_sort_chunks_runs_matches_reference(chunk, n_chunks):
+    """The fused sort+run-length kernel equals sort_chunks followed by
+    runs_from_sorted_chunked (incl. sentinel-run zeroing)."""
+    from km_tpu.ops.count import runs_from_sorted_chunked
+
+    rng = np.random.default_rng(9)
+    n = chunk * n_chunks
+    hi = rng.integers(0, 1 << 4, n).astype(np.uint32)  # heavy ties
+    lo = rng.integers(0, 1 << 3, n, dtype=np.uint64).astype(np.uint32)
+    # sprinkle sentinel (invalid-window) entries
+    sent_at = rng.random(n) < 0.05
+    hi[sent_at] = 0xFFFFFFFF
+    lo[sent_at] = 0xFFFFFFFF
+
+    fhi, flo, flen = sort_chunks_runs(jnp.asarray(hi), jnp.asarray(lo),
+                                      chunk=chunk, interpret=True)
+    shi, slo = sort_chunks(jnp.asarray(hi), jnp.asarray(lo), chunk=chunk,
+                           interpret=True)
+    rhi, rlo, rlen = runs_from_sorted_chunked(shi, slo, chunk)
+    rlen = np.where((np.asarray(rhi) == 0xFFFFFFFF)
+                    & (np.asarray(rlo) == 0xFFFFFFFF), 0,
+                    np.asarray(rlen))
+    assert (np.asarray(fhi) == np.asarray(shi)).all()
+    assert (np.asarray(flo) == np.asarray(slo)).all()
+    assert (np.asarray(flen) == rlen).all()
 
 
 def test_sort_chunks_supported_predicate():
