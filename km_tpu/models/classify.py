@@ -67,12 +67,18 @@ def merge_kmers(keys: list[int], path, k: int, skip_prefix: bool = True) -> str:
     """
     if not len(path):
         return ""
-    first = encode.unpack_kmer(keys[path[0]], k)
+    first = encode.unpack_kmer(int(keys[path[0]]), k)
     head = first[-1] if skip_prefix else first
     if len(path) == 1:
         return head
-    tail_keys = np.fromiter((int(keys[i]) for i in path[1:]),
-                            dtype=np.uint64, count=len(path) - 1)
+    if isinstance(keys, np.ndarray):
+        # cached packed-key array (VariantFinder._keys_arr): one fancy
+        # gather instead of a python generator over list entries
+        idx = np.fromiter(path, dtype=np.intp, count=len(path))
+        tail_keys = keys[idx[1:]]
+    else:
+        tail_keys = np.fromiter((int(keys[i]) for i in path[1:]),
+                                dtype=np.uint64, count=len(path) - 1)
     return head + _BASES[(tail_keys & np.uint64(3)).astype(np.intp)] \
         .tobytes().decode("ascii")
 

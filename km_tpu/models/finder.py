@@ -78,13 +78,23 @@ class VariantFinder:
     def path_counts(self, path) -> list[int]:
         return [self.counts[i] for i in path]
 
+    def _keys_arr(self) -> np.ndarray:
+        """Packed node keys as one cached uint64 array (sequence
+        materialization gathers from it instead of walking the list)."""
+        a = getattr(self, "_keys_np", None)
+        if a is None or len(a) != len(self.keys):
+            a = np.fromiter(self.keys, dtype=np.uint64,
+                            count=len(self.keys))
+            self._keys_np = a
+        return a
+
     def path_seq(self, path, skip_prefix=True) -> str:
-        return classify.merge_kmers(self.keys, path, self.k,
+        return classify.merge_kmers(self._keys_arr(), path, self.k,
                                     skip_prefix=skip_prefix)
 
     def variant_name(self, ref_ix, path_ix, offset=0) -> str:
-        return classify.name_variant(self.keys, ref_ix, path_ix, self.k,
-                                     offset=offset)
+        return classify.name_variant(self._keys_arr(), ref_ix, path_ix,
+                                     self.k, offset=offset)
 
     # -- quantification ----------------------------------------------------
 

@@ -46,6 +46,9 @@ def _stage(hi, lo, j: int, ksz: int, roll, row_iota, lane_iota, elem):
     import jax.numpy as jnp
 
     if j >= _LANES:
+        # (a reshape+concat "half-block swap" formulation of the XOR
+        # partner was tried here and measured ~35% SLOWER than the two
+        # sublane rolls in Mosaic — keep the rolls)
         jr = j // _LANES
         is_low = (row_iota & jr) == 0
         p_hi = jnp.where(is_low, roll(hi, -jr, 0), roll(hi, jr, 0))

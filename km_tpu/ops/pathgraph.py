@@ -206,6 +206,22 @@ def batched_sweeps(graphs):
                 jnp.asarray(np.ascontiguousarray(palette)),
                 jnp.asarray(starts), n=n_pad, W=W)))
 
+    if len(pending) > 1:
+        # one concatenated readback: per-transfer latency dominates on
+        # a remote link, so all buckets' trees ride home together
+        flat = np.asarray(jnp.concatenate(
+            [t.reshape(-1) for _, t in pending]))
+        off = 0
+        for idxs, trees_dev in pending:
+            size = trees_dev.shape[0] * trees_dev.shape[1]
+            trees = flat[off:off + size].reshape(trees_dev.shape)
+            off += size
+            for s, gi in enumerate(idxs):
+                g = graphs[gi]
+                out[gi] = (trees[2 * s, :g.n].copy(),
+                           trees[2 * s + 1, :g.n].copy())
+        return out
+
     for idxs, trees_dev in pending:
         trees = np.asarray(trees_dev)
         for s, gi in enumerate(idxs):
