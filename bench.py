@@ -182,7 +182,9 @@ def stage_counting(iters: int = 8, chunk: int = 1 << 24,
             ca = ca[0]
         bytes_accessed = float(ca.get("bytes accessed", 0.0))
         if bytes_accessed > 0:
-            bpk = bytes_accessed / n_windows
+            # the cost model reports the fori_loop body's accesses once,
+            # so normalize per loop-iteration windows, not per dispatch
+            bpk = bytes_accessed / (chunk - K + 1)
             frac = rate * bpk / V5E_HBM_BYTES_PER_S
             result["count_hbm_bytes_per_kmer"] = round(bpk, 1)
             result["count_hbm_traffic_frac_roofline"] = round(frac, 3)
@@ -222,6 +224,22 @@ def stage_devwalk(n_targets: int = 400):
             "device_rows_match_host": bool(match)}
 
 
+def _link_upload_mb_per_s() -> float:
+    """Measured host->device upload bandwidth (4 MB probe, distinct
+    bytes so a dispatch-caching transport can't answer from cache)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    jnp.zeros(8).block_until_ready()  # claim/cold-start outside timing
+    buf = np.random.default_rng(int(time.time())).integers(
+        0, 255, 4 << 20, dtype=np.uint8)
+    t0 = time.perf_counter()
+    jax.device_put(buf).block_until_ready()
+    return 4.0 / max(time.perf_counter() - t0, 1e-6)
+
+
 def stage_e2e(target_mb: int = 64):
     """End-to-end counting on a real file: FASTQ bytes on disk -> parse
     (native C++) -> 2-bit packed upload -> one fused device dispatch per
@@ -231,11 +249,26 @@ def stage_e2e(target_mb: int = 64):
     2 MB reference so the table stays small like a real transcriptome's.
 
     Honest caveat measured in: on a tunneled TPU the host<->device
-    link, not the kernel, bounds this number."""
+    link, not the kernel, bounds this number — so the stage measures
+    the link's upload bandwidth first, reports it, and sizes the
+    fixture to what fits its deadline (the full 64 MB runs whenever
+    the link allows; KM_TPU_E2E_MB forces a size). The device-resident
+    GB-scale number without the link lives in scripts/scale_count.py /
+    the gbscale extra."""
     import numpy as np
 
     from km_tpu.io.fastq import read_batches
     from km_tpu.ops import count as opcount
+
+    link = _link_upload_mb_per_s()
+    forced_mb = os.environ.get("KM_TPU_E2E_MB")
+    if forced_mb:
+        target_mb = int(forced_mb)
+    else:
+        # bytes moved ~= 0.375*mb packed upload + ~25-50 MB readback;
+        # fit inside ~80 s of link time + fixed overheads
+        feasible = int((80 * link - 40) / 0.5)
+        target_mb = max(16, min(target_mb, feasible))
 
     override = os.environ.get("KM_TPU_BENCH_FASTQ")
     if override:
@@ -272,7 +305,9 @@ def stage_e2e(target_mb: int = 64):
     assert len(keys) > 0
     n_windows = int(np.asarray(counts, dtype=np.int64).sum())
     return {"count_e2e_file_kmers_per_s": round(n_windows / dt, 1),
-            "count_e2e_file_mb": target_mb, "count_e2e_mode": mode}
+            "count_e2e_file_mb": target_mb, "count_e2e_mode": mode,
+            "count_e2e_link_upload_mb_per_s": round(link, 2),
+            "count_e2e_link_bound": True}
 
 
 def _ensure_synthetic_fastq(path: str, target_mb: int,

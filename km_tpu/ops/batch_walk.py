@@ -435,11 +435,14 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
         a_tgt = np.concatenate([seed_tgt[active], np.zeros(sp, np.int32)])
         a_hi = np.concatenate([shi[active], np.zeros(sp, np.uint32)])
         a_lo = np.concatenate([slo[active], np.zeros(sp, np.uint32)])
-        # walklet pool fixed at walklet_cap: the survivor count is only
-        # known on device now; spare rows cost device-internal rounds,
-        # never a dispatch, while a survivor-sized WC would cost a
-        # compile class per size
-        WC = max(walklet_cap, WC_f)
+        # fixed walklet pool: the survivor count is only known on
+        # device now, and a survivor-sized WC would cost a compile
+        # class per size. 512 rows is catalog-right — every per-round
+        # op scans all WC rows, so a maximal pool measurably slowed
+        # warm walks (r5: 1.65s vs 1.3s at WC=2048); surplus survivors
+        # just stream through the pool over extra device-internal
+        # rounds, never a dispatch
+        WC = min(walklet_cap, max(512, WC_f))
 
         while True:
             out = walk_kernel(

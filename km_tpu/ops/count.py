@@ -192,24 +192,32 @@ def runs_from_sorted_chunked(shi, slo, chunk: int):
     return shi, slo, lengths.reshape(n)
 
 
-def sum_runs_device(rhi, rlo, rcnt):
+def sum_runs_device(rhi, rlo, rcnt, max_run: int | None = None):
     """Unsorted (key, count) records -> sorted keys with each unique
     key's summed count stored in place at its run start (zeros
     elsewhere; consumers filter on ``count > 0``).
 
-    Sort by key, then each run's total is a difference of (modular
-    int32) prefix sums gathered at the run's boundaries; the next run
-    boundary comes from one searchsorted over the (nondecreasing) run
-    ids. Every post-sort primitive here — cumsum, searchsorted, gather
-    — compiles in near-constant time, unlike the segmented
-    associative_scan this replaces, whose XLA compile time blew up
-    superlinearly with n (isolated in docs/COLDSTART.md; at the stream
-    path's (2^18 cap, 2^20 chunk) shape the scan alone compiled in 96s
-    vs 4.5s for cumsum). The int32 cumsum wraps mod 2^32, so each
-    difference is exact whenever a single run's true total < 2^31 —
-    the same per-run bound the scan formulation had. Used to merge
-    counting runs after the all_to_all exchange (km_tpu.parallel) and
-    by the streaming accumulator merge below."""
+    Everything post-sort compiles in near-constant time — unlike the
+    segmented associative_scan this replaced, whose XLA compile time
+    blew up superlinearly with n (isolated in docs/COLDSTART.md; at
+    the stream path's (2^18 cap, 2^20 chunk) shape the scan alone
+    compiled in 96s vs 4.5s for cumsum).
+
+    With ``max_run`` (an upper bound on how many input records can
+    share one key — callers derive it from their chunking: one run per
+    Pallas sort-chunk per source, plus one accumulator entry), run
+    totals come from a *bounded* segmented doubling scan:
+    ceil(log2(max_run)) rounds of static-slice shifts + masked adds.
+    No gathers at all — the searchsorted/gather formulation used
+    otherwise costs ~log(n) rounds of random gathers, which measure
+    ~100x slower than sequential passes on TPU at tens of millions of
+    records. A bound SMALLER than a real run silently undercounts, so
+    callers must derive it structurally, never guess.
+
+    Without ``max_run`` the exact-any-length path runs: prefix-sum
+    differences gathered at run boundaries (int32 mod-2^32 arithmetic,
+    exact while each run's true total < 2^31 — the same bound the
+    scan formulation had)."""
     import jax
     jnp = _jnp()
 
@@ -219,6 +227,16 @@ def sum_runs_device(rhi, rlo, rcnt):
         jnp.ones(1, dtype=bool),
         (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
     ])
+    if max_run is not None:
+        rid = jnp.cumsum(new_run.astype(jnp.int32))
+        s = scnt
+        d = 1
+        while d < max_run:
+            rid_s = jnp.concatenate([rid[d:], jnp.full(d, -1, rid.dtype)])
+            s_s = jnp.concatenate([s[d:], jnp.zeros(d, s.dtype)])
+            s = s + jnp.where(rid_s == rid, s_s, 0)
+            d *= 2
+        return shi, slo, jnp.where(new_run, s, 0)
     rid = jnp.cumsum(new_run.astype(jnp.int32))  # 1-based, nondecreasing
     # first index of the NEXT run (n for the last run)
     nxt = jnp.searchsorted(rid, rid + 1, side="left").astype(jnp.int32)
@@ -348,19 +366,21 @@ def unpack2_device(packed, validbits, n: int):
     return codes.astype(jnp.uint8), valid
 
 
-def merge_accum_device(acc_hi, acc_lo, acc_cnt, rhi, rlo, rcnt, C: int):
+def merge_accum_device(acc_hi, acc_lo, acc_cnt, rhi, rlo, rcnt, C: int,
+                       max_run: int | None = None):
     """Merge a chunk's (key, count) runs into the device accumulator.
 
     The accumulator holds up to C unique keys (padding entries carry the
     sentinel key and count 0). Merge = concatenate, key entries with
-    count 0 to the sentinel, sort + run-boundary sum (sum_runs_device),
-    then compact the survivors to the front with a searchsorted gather
-    — the input is already in key order, so the j-th survivor sits at
-    the first index where cumsum(alive) == j+1; no second sort (the
-    flag-sort this replaces was ~1/3 of the merge's blown-up compile,
-    docs/COLDSTART.md). Returns (hi, lo, cnt, n_unique) at capacity C;
-    n_unique > C means the capacity overflowed and the result is
-    truncated (callers grow C and retry or fall back)."""
+    count 0 to the sentinel, sort + bounded run sum (sum_runs_device),
+    then one stable flag-sort compacts the survivors to the front in
+    key order. (A searchsorted-gather compaction was tried instead of
+    the flag sort to shave compile time; its ~log(n) rounds of random
+    gathers measured seconds per merge at 25M records on TPU — the
+    flag sort costs ~50 s more compile ONCE and runs in sort time.)
+    Returns (hi, lo, cnt, n_unique) at capacity C; n_unique > C means
+    the capacity overflowed and the result is truncated (callers grow
+    C and retry or fall back)."""
     import jax
     jnp = _jnp()
 
@@ -371,18 +391,18 @@ def merge_accum_device(acc_hi, acc_lo, acc_cnt, rhi, rlo, rcnt, C: int):
     dead = cnt == 0
     hi = jnp.where(dead, sent, hi)
     lo = jnp.where(dead, sent, lo)
-    shi, slo, scnt = sum_runs_device(hi, lo, cnt)
+    # max_run: real keys appear once per Pallas sort-chunk of the run
+    # input plus once in the accumulator (callers derive and pass it);
+    # zero-count entries were just keyed to the sentinel, whose run may
+    # exceed any bound — harmlessly, its contributions are all zero
+    shi, slo, scnt = sum_runs_device(hi, lo, cnt, max_run=max_run)
     alive = (scnt > 0) & ~((shi == sent) & (slo == sent))
-    cs = jnp.cumsum(alive.astype(jnp.int32))
-    n_unique = cs[-1]
-    src = jnp.searchsorted(cs, jnp.arange(1, C + 1, dtype=jnp.int32),
-                           side="left").astype(jnp.int32)
-    src = jnp.minimum(src, shi.shape[0] - 1)
-    live_out = jnp.arange(C, dtype=jnp.int32) < n_unique
-    chi = jnp.where(live_out, shi[src], sent)
-    clo = jnp.where(live_out, slo[src], sent)
-    ccnt = jnp.where(live_out, scnt[src], 0)
-    return chi, clo, ccnt, n_unique
+    # stable sort on the dead flag compacts survivors to the front in
+    # key order (lax.sort is stable)
+    _, chi, clo, ccnt = jax.lax.sort(
+        ((~alive).astype(jnp.int32), shi, slo, scnt), num_keys=1)
+    n_unique = alive.sum()
+    return chi[:C], clo[:C], ccnt[:C], n_unique
 
 
 def _jitted_count_merge(k: int, canonical: bool, C: int, n: int):
@@ -395,13 +415,19 @@ def _jitted_count_merge(k: int, canonical: bool, C: int, n: int):
 
         import jax
 
+        from . import pallas_sort
+
+        # one run per key per sort-chunk of the counted window array,
+        # plus the accumulator's single entry per key
+        max_run = -(-(n - k + 1) // pallas_sort.CHUNK) + 2
+
         def run(packed, validbits, acc_hi, acc_lo, acc_cnt):
             codes, valid = unpack2_device(packed, validbits, n)
             rhi, rlo, rcnt = count_chunk_device(codes, valid, k,
                                                 canonical=canonical)
             return merge_accum_device(acc_hi, acc_lo, acc_cnt,
                                       rhi, rlo, rcnt.astype(acc_cnt.dtype),
-                                      C)
+                                      C, max_run=max_run)
 
         fn = jax.jit(run, donate_argnums=(2, 3, 4))
         _JIT_CACHE[key] = fn
@@ -459,9 +485,20 @@ def count_batches_device_stream(batches, k: int, canonical: bool = True,
 
     if acc_cnt is None:
         return np.empty(0, np.uint64), np.empty(0, np.uint32)
-    hi = np.asarray(acc_hi, dtype=np.uint64)
-    lo = np.asarray(acc_lo, dtype=np.uint64)
-    cnt = np.asarray(acc_cnt).astype(np.int64)
+    # the merge keeps survivors compacted at the front, so only the
+    # first n_unique entries need to cross the link (padded to a power
+    # of two to bound slice-program compile classes) — on a
+    # bandwidth-bound link the final readback shrinks from the full
+    # capacity (e.g. 50 MB at 2^22 slots) to the distinct-key count
+    nu = min(int(n_unique), C) if n_unique is not None else C
+    # quarter-octave quantization: <= 25% over-read at ~4 slice-program
+    # classes per octave
+    b = max(nu - 1, 1).bit_length()
+    q = max(1 << max(b - 2, 0), 16)
+    m = min(C, max(64, -(-nu // q) * q))
+    hi = np.asarray(acc_hi[:m], dtype=np.uint64)[:nu]
+    lo = np.asarray(acc_lo[:m], dtype=np.uint64)[:nu]
+    cnt = np.asarray(acc_cnt[:m]).astype(np.int64)[:nu]
     keys = (hi << np.uint64(32)) | lo
     keep = (cnt >= min_count) & (cnt > 0)
     return keys[keep], cnt[keep].astype(np.uint32)

@@ -40,9 +40,10 @@ CHUNK = 1 << 17
 _LANES = 128
 
 
-def _stage(hi, lo, j: int, ksz: int, roll, row_iota, lane_iota, elem):
-    """One compare-exchange: pair element i with i ^ j inside ascending/
-    descending blocks of size ksz."""
+def _stage(hi, lo, j: int, desc, roll, row_iota, lane_iota):
+    """One compare-exchange: pair element i with i ^ j; ``desc`` marks
+    the descending blocks of the current level (hoisted per level — it
+    only depends on the level's block size)."""
     import jax.numpy as jnp
 
     if j >= _LANES:
@@ -58,10 +59,9 @@ def _stage(hi, lo, j: int, ksz: int, roll, row_iota, lane_iota, elem):
         p_hi = jnp.where(is_low, roll(hi, -j, 1), roll(hi, j, 1))
         p_lo = jnp.where(is_low, roll(lo, -j, 1), roll(lo, j, 1))
 
-    desc = (elem & ksz) != 0
     take_min = is_low ^ desc
     lt = (hi < p_hi) | ((hi == p_hi) & (lo < p_lo))
-    sel_self = ~(take_min ^ lt)
+    sel_self = take_min == lt
     return (jnp.where(sel_self, hi, p_hi), jnp.where(sel_self, lo, p_lo))
 
 
@@ -90,10 +90,10 @@ def _sort_kernel(hi_ref, lo_ref, out_hi_ref, out_lo_ref, *, chunk: int,
 
     levels = chunk.bit_length() - 1  # chunk = 2^levels
     for lv in range(1, levels + 1):
-        ksz = 1 << lv
+        desc = (elem & (1 << lv)) != 0  # hoisted: constant per level
         for p in range(lv - 1, -1, -1):
-            hi, lo = _stage(hi, lo, 1 << p, ksz, roll, row_iota,
-                            lane_iota, elem)
+            hi, lo = _stage(hi, lo, 1 << p, desc, roll, row_iota,
+                            lane_iota)
 
     out_hi_ref[:] = hi.reshape(chunk)
     out_lo_ref[:] = lo.reshape(chunk)
@@ -130,10 +130,10 @@ def _sort_runs_kernel(hi_ref, lo_ref, out_hi_ref, out_lo_ref, len_ref, *,
 
     levels = chunk.bit_length() - 1
     for lv in range(1, levels + 1):
-        ksz = 1 << lv
+        desc = (elem & (1 << lv)) != 0  # hoisted: constant per level
         for p in range(lv - 1, -1, -1):
-            hi, lo = _stage(hi, lo, 1 << p, ksz, roll, row_iota,
-                            lane_iota, elem)
+            hi, lo = _stage(hi, lo, 1 << p, desc, roll, row_iota,
+                            lane_iota)
 
     # previous element in flattened order (garbage at elem 0, masked)
     y_hi, y_lo = roll(hi, 1, 1), roll(lo, 1, 1)

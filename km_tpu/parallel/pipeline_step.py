@@ -81,8 +81,11 @@ def build_full_step(mesh: Mesh, k: int, chunk: int, bucket_cap: int,
         rhi = jax.lax.all_to_all(bhi, shard_axis, 0, 0).reshape(-1)
         rlo = jax.lax.all_to_all(blo, shard_axis, 0, 0).reshape(-1)
         rcnt = jax.lax.all_to_all(bcnt, shard_axis, 0, 0).reshape(-1)
+        from ..ops import pallas_sort as _ps
+
+        max_run = n_shards * (-(-(chunk - k + 1) // _ps.CHUNK) + 1)
         delta_hi, delta_lo, delta_cnt = count_mod.sum_runs_device(
-            rhi, rlo, rcnt)
+            rhi, rlo, rcnt, max_run=max_run)
 
         # ---- 4. owner-routed lookup on the persistent table ----
         qh = qhi[0]  # local slice [1, Q/S] -> [Q/S]

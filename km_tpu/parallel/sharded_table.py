@@ -355,10 +355,17 @@ def build_count_exchange(mesh: Mesh, axis: str, chunk: int, k: int,
         rlo = jax.lax.all_to_all(blo, axis, 0, 0).reshape(-1)
         rcnt = jax.lax.all_to_all(bcnt, axis, 0, 0).reshape(-1)
 
-        # local merge: scatter-free segmented sum of received runs
+        # local merge: scatter-free segmented sum of received runs.
+        # Real keys appear at most once per sender sort-chunk; the
+        # sentinel padding's longer run sums only zeros, where any
+        # bound is exact
+        from ..ops import pallas_sort
         from ..ops.count import sum_runs_device
 
-        merged_hi, merged_lo, merged_cnt = sum_runs_device(rhi, rlo, rcnt)
+        max_run = n_shards * (-(-(chunk - k + 1) // pallas_sort.CHUNK)
+                              + 1)
+        merged_hi, merged_lo, merged_cnt = sum_runs_device(
+            rhi, rlo, rcnt, max_run=max_run)
         return (merged_hi[None], merged_lo[None], merged_cnt[None],
                 dropped[None])
 

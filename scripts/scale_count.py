@@ -47,32 +47,51 @@ REF_LOG2 = 21            # 2 MB reference -> ~2M distinct k-mers + mutations
 
 
 def build_step(capacity: int):
-    """One fused dispatch: synthesize a read chunk on device, count it,
-    merge into the donated accumulator."""
+    """One fused dispatch: derive a distinct read chunk from the
+    resident reference (roll + hash-sparse point mutations — pure
+    elementwise ops; the jax PRNG draws this replaced measured ~10x
+    the counting kernel itself), count it, merge into the donated
+    accumulator (merge bounded by the chunk's sort-chunk structure)."""
+    from km_tpu.ops import pallas_sort
 
-    def step(acc_hi, acc_lo, acc_cnt, key):
-        k1, k2, k3 = jax.random.split(key, 3)
-        ref = jax.random.randint(jax.random.key(7), (1 << REF_LOG2,),
-                                 0, 4, jnp.int32)
-        # reads = the reference tiled, with random point mutations
-        # (rate 1e-4: ~50k novel k-mers per chunk, keeping the distinct
-        # set inside the accumulator like a real transcriptome sample)
-        # and a random per-chunk rotation, like sampling read starts
-        reps = CHUNK >> REF_LOG2
-        codes = jnp.tile(ref, reps)
-        shift = jax.random.randint(k1, (), 0, 1 << REF_LOG2, jnp.int32)
-        codes = jnp.roll(codes, shift)
-        mut_at = jax.random.uniform(k2, (CHUNK,)) < 1e-4
-        mut_to = jax.random.randint(k3, (CHUNK,), 0, 4, jnp.int32)
-        codes = jnp.where(mut_at, mut_to, codes).astype(jnp.uint8)
+    # one run per key per Pallas sort-chunk + the accumulator entry
+    max_run = -(-(CHUNK - K + 1) // pallas_sort.CHUNK) + 2
+
+    def one_chunk(acc_hi, acc_lo, acc_cnt, base, idx):
+        # distinct per chunk: rotation (new window phases) + ~1e-4
+        # deterministic point mutations (~50k novel k-mers per chunk,
+        # keeping the distinct set inside the accumulator like a real
+        # transcriptome sample)
+        codes = jnp.roll(base, idx * jnp.int32(99991))
+        pos = jax.lax.broadcasted_iota(jnp.uint32, (CHUNK, 1), 0)[:, 0]
+        h = (pos * jnp.uint32(2654435761)
+             + idx.astype(jnp.uint32) * jnp.uint32(40503))
+        mut = (h % jnp.uint32(9973)) == 0
+        codes = jnp.where(mut, ((h >> jnp.uint32(16)) & 3).astype(
+            jnp.uint8), codes)
         valid = jnp.ones(CHUNK, bool)
         rhi, rlo, rcnt = count_chunk_device(codes, valid, K,
                                             canonical=True)
         return merge_accum_device(acc_hi, acc_lo, acc_cnt,
                                   rhi, rlo, rcnt.astype(jnp.int32),
-                                  capacity)
+                                  capacity, max_run=max_run)
+
+    def step(acc_hi, acc_lo, acc_cnt, base, idx0):
+        # INNER_CHUNKS chunks per dispatch: the per-dispatch link round
+        # trip (tens of ms to seconds depending on the link's mood)
+        # amortizes over ~0.25 GB of counted bases
+        def body(j, carry):
+            a, b, c, _nu = carry
+            return one_chunk(a, b, c, base, idx0 * INNER_CHUNKS + j)
+
+        nu0 = jnp.int32(0)
+        return jax.lax.fori_loop(0, INNER_CHUNKS, body,
+                                 (acc_hi, acc_lo, acc_cnt, nu0))
 
     return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+INNER_CHUNKS = 16
 
 
 def main():
@@ -85,8 +104,13 @@ def main():
         cap_log2 = int(args[args.index("--capacity") + 1])
     C = 1 << cap_log2
 
+    assert chunks % INNER_CHUNKS == 0, (chunks, INNER_CHUNKS)
     print("backend: %s" % jax.default_backend(), file=sys.stderr)
     step = build_step(C)
+    # resident reference, uploaded once (2 MB tiled to one chunk)
+    rng = np.random.default_rng(7)
+    ref = rng.integers(0, 4, 1 << REF_LOG2, dtype=np.uint8)
+    base = jnp.asarray(np.tile(ref, CHUNK >> REF_LOG2))
     acc_hi = jnp.full(C, np.uint32(SENTINEL32))
     acc_lo = jnp.full(C, np.uint32(SENTINEL32))
     acc_cnt = jnp.zeros(C, jnp.int32)
@@ -94,14 +118,14 @@ def main():
     # warm (compile + first exec), outside the timed region
     t_compile = time.perf_counter()
     acc_hi, acc_lo, acc_cnt, n_unique = step(acc_hi, acc_lo, acc_cnt,
-                                             jax.random.key(0))
+                                             base, jnp.int32(0))
     jax.block_until_ready(acc_cnt)
     compile_s = time.perf_counter() - t_compile
 
     t0 = time.perf_counter()
-    for i in range(1, chunks):
+    for i in range(1, chunks // INNER_CHUNKS):
         acc_hi, acc_lo, acc_cnt, n_unique = step(acc_hi, acc_lo, acc_cnt,
-                                                 jax.random.key(i))
+                                                 base, jnp.int32(i))
     hi = np.asarray(acc_hi, dtype=np.uint64)   # the single readback
     lo = np.asarray(acc_lo, dtype=np.uint64)
     cnt = np.asarray(acc_cnt).astype(np.int64)
@@ -120,7 +144,7 @@ def main():
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     out = {
         "metric": "count_gb_scale_device_kmers_per_s",
-        "value": round((chunks - 1) * (CHUNK - K + 1) / dt, 1),
+        "value": round((chunks - INNER_CHUNKS) * (CHUNK - K + 1) / dt, 1),
         "unit": "kmers/s",
         "bases_counted": bases,
         "gb_of_reads_equiv": round(bases * 2.4 / 1e9, 2),
