@@ -111,7 +111,7 @@ def stage_hostwalk(n_targets: int = 400):
 
 
 def stage_counting(iters: int = 8, chunk: int = 1 << 24,
-                   scan_chunks: int = 32):
+                   scan_chunks: int = 64):
     """Sustained device counting throughput.
 
     One dispatch = an in-program fori_loop over ``scan_chunks``

@@ -109,6 +109,41 @@ def _seed_filter(keys_hi, keys_lo, counts, bucket_starts,
 @partial(jax.jit, static_argnames=(
     "prefix_bits", "rounds", "k", "canonical", "max_stack", "max_break",
     "member_rounds", "hard_rounds", "copy_cap", "commit_cap", "log_cap",
+    "WC", "S", "NS", "TB", "M"))
+def walk_kernel_blob(keys_hi, keys_lo, counts, bucket_starts, blob,
+                     n_act, ratio, n_cutoff,
+                     *, NS, TB, M, WC, S, prefix_bits, rounds, k,
+                     canonical, max_stack, max_break, member_rounds,
+                     hard_rounds, copy_cap, commit_cap, log_cap):
+    """Single-upload front end for walk_kernel: seeds, member arrays
+    and slice bounds ride ONE uint32 blob — on a remote link every
+    separate host->device transfer pays a round trip, and the walk
+    uploads six arrays per fixpoint iteration otherwise."""
+    off = 0
+    seed_tgt = blob[off:off + NS].astype(jnp.int32)
+    off += NS
+    seed_hi = blob[off:off + NS]
+    off += NS
+    seed_lo = blob[off:off + NS]
+    off += NS
+    member_bounds = blob[off:off + TB + 1].astype(jnp.int32)
+    off += TB + 1
+    member_hi = blob[off:off + M]
+    off += M
+    member_lo = blob[off:off + M]
+    return walk_kernel(
+        keys_hi, keys_lo, counts, bucket_starts,
+        member_bounds, member_hi, member_lo,
+        seed_tgt, seed_hi, seed_lo, n_act, ratio, n_cutoff,
+        WC=WC, S=S, prefix_bits=prefix_bits, rounds=rounds, k=k,
+        canonical=canonical, max_stack=max_stack, max_break=max_break,
+        member_rounds=member_rounds, hard_rounds=hard_rounds,
+        copy_cap=copy_cap, commit_cap=commit_cap, log_cap=log_cap)
+
+
+@partial(jax.jit, static_argnames=(
+    "prefix_bits", "rounds", "k", "canonical", "max_stack", "max_break",
+    "member_rounds", "hard_rounds", "copy_cap", "commit_cap", "log_cap",
     "WC", "S"))
 def walk_kernel(keys_hi, keys_lo, counts, bucket_starts,
                 member_bounds, member_hi, member_lo,
@@ -419,10 +454,6 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
         mhi = np.concatenate([mhi, np.full(pad, 0xFFFFFFFF, np.uint32)])
         mlo = np.concatenate([mlo, np.full(pad, 0xFFFFFFFF, np.uint32)])
 
-        jm_bounds = jnp.asarray(bounds)
-        jm_hi = jnp.asarray(mhi)
-        jm_lo = jnp.asarray(mlo)
-
         # all active seeds go to the walk kernel; its fused filter pass
         # kills the seeds that would die in their first walk round (the
         # vast majority: every interior reference k-mer whose children
@@ -432,9 +463,15 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
         NS = max(1 << 10, 1 << (na - 1).bit_length(), NS_f)
         NS_f = NS
         sp = NS - na
-        a_tgt = np.concatenate([seed_tgt[active], np.zeros(sp, np.int32)])
-        a_hi = np.concatenate([shi[active], np.zeros(sp, np.uint32)])
-        a_lo = np.concatenate([slo[active], np.zeros(sp, np.uint32)])
+        # seeds + member arrays + slice bounds ride one u32 blob = ONE
+        # host->device transfer per iteration (walk_kernel_blob); six
+        # separate uploads each paid a link round trip before
+        blob = np.concatenate([
+            seed_tgt[active].astype(np.int32).view(np.uint32),
+            np.zeros(sp, np.uint32),
+            shi[active], np.zeros(sp, np.uint32),
+            slo[active], np.zeros(sp, np.uint32),
+            bounds.astype(np.int32).view(np.uint32), mhi, mlo])
         # fixed walklet pool: the survivor count is only known on
         # device now, and a survivor-sized WC would cost a compile
         # class per size. 512 rows is catalog-right — every per-round
@@ -445,12 +482,11 @@ def device_discover(targets_mers: list[np.ndarray], table, ratio=0.05,
         WC = min(walklet_cap, max(512, WC_f))
 
         while True:
-            out = walk_kernel(
+            out = walk_kernel_blob(
                 table.keys_hi, table.keys_lo, table.counts,
-                table.bucket_starts,
-                jm_bounds, jm_hi, jm_lo,
-                jnp.asarray(a_tgt), jnp.asarray(a_hi), jnp.asarray(a_lo),
+                table.bucket_starts, jnp.asarray(blob),
                 jnp.int32(na), jnp.float32(ratio), jnp.int32(count),
+                NS=NS, TB=TB, M=M,
                 WC=WC, S=S,
                 prefix_bits=table.prefix_bits, rounds=table.rounds,
                 k=table.k, canonical=table.canonical, max_stack=max_stack,

@@ -55,6 +55,53 @@ MAX_WIDTH = 64  # degree cap for the fixed-width successor table
 PALETTE = 16  # distinct edge weights per bucket (catalog uses 2)
 
 
+@partial(jax.jit, static_argnames=("B", "n", "W"))
+def sweep_kernel_blob(blob, *, B, n, W):
+    """Single-upload front end for sweep_kernel: the packed successor
+    tables (int16 or int32), palettes (f32) and start nodes (i32) of a
+    bucket ride ONE uint32 blob — separate transfers each pay a link
+    round trip on remote backends. Layout: [dtype_tag, packed...,
+    palette..., starts...] with int16 tables packed two per word."""
+    import jax.lax as lax
+
+    tag = blob[0]
+    off = 1
+    n_tab = B * n * W
+    is16 = n <= MAX_INT16_NODES  # _pack_bucket's dtype rule
+    if is16:
+        words = (n_tab + 1) // 2
+        tab = lax.bitcast_convert_type(blob[off:off + words],
+                                       jnp.int16).reshape(-1)[:n_tab]
+    else:
+        words = n_tab
+        tab = blob[off:off + words].astype(jnp.int32)
+    packed = tab.reshape(B, n, W).astype(jnp.int32)
+    off += words
+    palette = lax.bitcast_convert_type(
+        blob[off:off + B * PALETTE], jnp.float32).reshape(B, PALETTE)
+    off += B * PALETTE
+    starts = blob[off:off + B].astype(jnp.int32)
+    del tag
+    return sweep_kernel(packed, palette, starts, n=n, W=W)
+
+
+def _sweep_blob_host(packed, palette, starts) -> np.ndarray:
+    """Host-side builder matching sweep_kernel_blob's layout."""
+    flat = packed.reshape(-1)
+    if packed.dtype == np.int16:
+        if flat.size % 2:
+            flat = np.concatenate([flat, np.zeros(1, np.int16)])
+        words = flat.view(np.uint32)
+    else:
+        words = flat.astype(np.int32).view(np.uint32)
+    return np.concatenate([
+        np.zeros(1, np.uint32),  # reserved tag word
+        words,
+        np.ascontiguousarray(palette, dtype=np.float32).view(np.uint32)
+        .reshape(-1),
+        np.asarray(starts, np.int32).view(np.uint32)])
+
+
 @partial(jax.jit, static_argnames=("n", "W"))
 def sweep_kernel(packed, palette, starts, *, n, W):
     """Lockstep scan-min Dijkstra over a batch of sweeps.
@@ -201,10 +248,9 @@ def batched_sweeps(graphs):
             B = packed.shape[0]
             palette = np.broadcast_to(pal, (B, PALETTE))
             starts = np.asarray(starts + [0] * (B - len(starts)), np.int32)
-            pending.append((idxs, sweep_kernel(
-                jnp.asarray(packed),
-                jnp.asarray(np.ascontiguousarray(palette)),
-                jnp.asarray(starts), n=n_pad, W=W)))
+            blob = _sweep_blob_host(packed, palette, starts)
+            pending.append((idxs, sweep_kernel_blob(
+                jnp.asarray(blob), B=B, n=n_pad, W=W)))
 
     if len(pending) > 1:
         # one concatenated readback: per-transfer latency dominates on

@@ -66,7 +66,10 @@ def build_step(capacity: int):
         pos = jax.lax.broadcasted_iota(jnp.uint32, (CHUNK, 1), 0)[:, 0]
         h = (pos * jnp.uint32(2654435761)
              + idx.astype(jnp.uint32) * jnp.uint32(40503))
-        mut = (h % jnp.uint32(9973)) == 0
+        # threshold compare, NOT a modulo: TPU has no hardware integer
+        # division, so a non-pow2 `%` on a 16M-vector lowers to a
+        # multi-second op sequence
+        mut = h < jnp.uint32(429497)  # ~1e-4 of the u32 range
         codes = jnp.where(mut, ((h >> jnp.uint32(16)) & 3).astype(
             jnp.uint8), codes)
         valid = jnp.ones(CHUNK, bool)

@@ -64,7 +64,8 @@ def test_second_process_hits_cache_for_walk_kernels(tmp_path):
     assert os.listdir(cache), "first process wrote nothing to the cache"
     # the first process may hit nothing (fresh dir)
     log2 = _run(cache)
-    for kernel in ("jit_walk_kernel",):  # seed filter is fused into it
+    # the blob wrapper is the compiled entry; filter + walk fuse inside
+    for kernel in ("jit_walk_kernel_blob",):
         assert ("Persistent compilation cache hit for '%s'" % kernel
                 in log2), (
             "second process recompiled %s — cache key unstable across "
@@ -90,5 +91,5 @@ def test_cache_key_stable_across_entry_points(tmp_path):
                           capture_output=True, text=True, timeout=600,
                           env=env)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "Persistent compilation cache hit for 'jit_walk_kernel'" \
+    assert "Persistent compilation cache hit for 'jit_walk_kernel_blob'" \
         in proc.stderr
