@@ -40,12 +40,42 @@ divisor uses each problem's REAL k-mer count.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 MAX_ITERS = 200_000  # safety bound; fixtures converge in < 2k iterations
+
+
+@partial(jax.jit, static_argnames=("B", "N", "P"))
+def _refine_blob(blob, *, B, N, P):
+    """Single-upload front end for _refine_kernel (separate transfers
+    each pay a link round trip on remote backends): one uint32 blob
+    carries contrib (i16, two per word), counts (f32), coef0 and
+    n_kmers (f64, two words each, little-endian); coef and rvaf return
+    stacked as one f64 array so the readback is also a single
+    transfer. Must be traced under jax.enable_x64 (the f64 bitcasts)."""
+    import jax.lax as lax
+
+    off = 0
+    w = B * N * P // 2
+    contrib16 = lax.bitcast_convert_type(
+        blob[:w], jnp.int16).reshape(B, N, P)
+    off = w
+    counts32 = lax.bitcast_convert_type(
+        blob[off:off + B * N], jnp.float32).reshape(B, N)
+    off += B * N
+    coef0 = lax.bitcast_convert_type(
+        blob[off:off + 2 * B * P].reshape(B, P, 2), jnp.float64)
+    off += 2 * B * P
+    n_kmers = lax.bitcast_convert_type(
+        blob[off:off + 2 * B].reshape(B, 2), jnp.float64)
+    coef, rvaf, _iters = _refine_kernel(contrib16, counts32, coef0,
+                                        n_kmers)
+    return jnp.stack([coef, rvaf])
 
 
 @jax.jit
@@ -161,12 +191,15 @@ def solve_batch(problems, pad_paths: int | None = None,
         start[start < 0] = 0
         coef0[i, :n_p[i]] = start
 
+    blob = np.concatenate([
+        contrib.reshape(-1).view(np.uint32),
+        counts.reshape(-1).view(np.uint32),
+        coef0.reshape(-1).view(np.uint32),
+        np.array(n_n, dtype=np.float64).view(np.uint32)])
     with jax.enable_x64():
-        coef, rvaf, _iters = _refine_kernel(
-            jnp.asarray(contrib), jnp.asarray(counts), jnp.asarray(coef0),
-            jnp.asarray(np.array(n_n, dtype=np.float64)))
-        coef = np.asarray(coef, dtype=np.float64)
-        rvaf = np.asarray(rvaf, dtype=np.float64)
+        both = np.asarray(_refine_blob(jnp.asarray(blob), B=B, N=N, P=P),
+                          dtype=np.float64)
+        coef, rvaf = both[0], both[1]
     for i, b in enumerate(dev_ix):
         out[b] = (coef[i, :n_p[i]], rvaf[i, :n_p[i]])
     return out
