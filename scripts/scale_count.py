@@ -42,7 +42,9 @@ from km_tpu.ops.count import (SENTINEL32, count_chunk_device,  # noqa: E402
                               merge_accum_device)
 
 K = 31
-CHUNK = 1 << 24          # bases per device chunk
+CHUNK = 1 << 24          # bases per device chunk (2^26 tried:
+                         # the 75M-record merge sorts degrade
+                         # ~5x at that working set; see NEXT.md)
 REF_LOG2 = 21            # 2 MB reference -> ~2M distinct k-mers + mutations
 
 
@@ -129,13 +131,23 @@ def main():
     for i in range(1, chunks // INNER_CHUNKS):
         acc_hi, acc_lo, acc_cnt, n_unique = step(acc_hi, acc_lo, acc_cnt,
                                                  base, jnp.int32(i))
-    hi = np.asarray(acc_hi, dtype=np.uint64)   # the single readback
-    lo = np.asarray(acc_lo, dtype=np.uint64)
-    cnt = np.asarray(acc_cnt).astype(np.int64)
-    dt = time.perf_counter() - t0
-
+    # the scalar depends on every chunk's merge: reading it syncs the
+    # whole loop (block_until_ready is lazy on remote transports)
     n_uni = int(np.asarray(n_unique))
+    dt = time.perf_counter() - t0
     assert n_uni <= C, "accumulator capacity exceeded: %d > %d" % (n_uni, C)
+
+    # the one-time table readback, timed apart from the counting rate
+    # (survivors sit compacted at the front; quarter-octave slice)
+    t_rb = time.perf_counter()
+    b = max(n_uni - 1, 1).bit_length()
+    q = max(1 << max(b - 2, 0), 16)
+    m = min(C, max(64, -(-n_uni // q) * q))
+    hi = np.asarray(acc_hi[:m], dtype=np.uint64)[:n_uni]
+    lo = np.asarray(acc_lo[:m], dtype=np.uint64)[:n_uni]
+    cnt = np.asarray(acc_cnt[:m]).astype(np.int64)[:n_uni]
+    readback_s = time.perf_counter() - t_rb
+
     keys = ((hi << np.uint64(32)) | lo)[cnt > 0]
     counts = cnt[cnt > 0]
     total_kmers = int(counts.sum())
@@ -157,6 +169,8 @@ def main():
         "host_rss_mb": round(rss_mb, 1),
         "first_chunk_incl_compile_s": round(compile_s, 1),
         "steady_wall_s": round(dt, 2),
+        "final_readback_s": round(readback_s, 2),
+        "final_readback_mb": round(m * 12 / 1e6, 1),
     }
     print(json.dumps(out))
 
