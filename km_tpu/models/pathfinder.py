@@ -178,22 +178,40 @@ class OverlapGraph:
         self._before_chain: dict[int, tuple[int, ...]] = {}
         self._after_chain: dict[int, tuple[int, ...]] = {}
 
+        # Lockstep chain walk (vectorized over all reference-path
+        # starts): a removed edge is any consecutive pair (c_i, c_i+1)
+        # with i >= 1 along an after[]-chain from a start whose
+        # before[] is the source cap. NB the `c_i != 0` guard is
+        # bug-compatible: km's `last_cur and ...` means node 0 (falsy)
+        # never removes its outgoing edge (km/utils/Graph.py:184-198).
         debug = log.getLogger().isEnabledFor(log.DEBUG)
+        after = np.asarray(self.after)
+        cur = np.unique(np.where(self.before == self.first_node)[0])
+        pair_a: list[np.ndarray] = []
+        pair_b: list[np.ndarray] = []
+        first_step = True
+        for _ in range(self.n + 1):
+            if not len(cur):
+                break
+            nxt = after[cur]
+            alive = nxt != -1
+            if not first_step:
+                m = alive & (cur != 0)
+                if m.any():
+                    pair_a.append(cur[m])
+                    pair_b.append(nxt[m])
+            first_step = False
+            cur = nxt[alive]
         removed = 0
-        curs = set(np.where(self.before == self.first_node)[0])
-        for cur in curs:
-            cur = int(cur)
-            last_cur = None
-            while self.after[cur] != -1:
-                cur = int(self.after[cur])
-                # NB: `last_cur and ...` — bug-compatible: node 0 (falsy)
-                # never removes its outgoing edge, just like km.
-                if last_cur and (last_cur, cur) in self.edge_set:
-                    self.edge_set.remove((last_cur, cur))
-                    if debug:
-                        log.debug("Removing (%d, %d)", last_cur, cur)
-                    removed += 1
-                last_cur = cur
+        if pair_a:
+            keys = set(zip(np.concatenate(pair_a).tolist(),
+                           np.concatenate(pair_b).tolist()))
+            hit = self.edge_set & keys
+            removed = len(hit)
+            if debug:
+                for a, b in sorted(hit):
+                    log.debug("Removing (%d, %d)", a, b)
+            self.edge_set -= hit
         log.info("Removed %d ref edges.", removed)
 
     def _chain(self, node: int, tree: np.ndarray,
