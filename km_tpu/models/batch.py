@@ -249,12 +249,18 @@ def run_catalog(targets: list[TargetSeq], table, ratio=0.05, count=5,
     if quant == "device" and not graphical:
         from ..ops import nnls
 
-        jobs, emits = [], []
+        jobs, emits, prewarms = [], [], []
         for finder in live:
-            for paths, emit in finder.quant_jobs():
+            for paths, emit, prewarm in finder.quant_jobs():
                 jobs.append((paths, finder.counts))
                 emits.append(emit)
-        for emit, (coef, rvaf) in zip(emits, nnls.solve_batch(jobs)):
+                prewarms.append(prewarm)
+        # dispatch the batched solve, then do the coefficient-free host
+        # work (classification + sequence strings) while it's in flight
+        fetch = nnls.solve_batch(jobs, defer=True)
+        for prewarm in prewarms:
+            prewarm()
+        for emit, (coef, rvaf) in zip(emits, fetch()):
             emit(coef, rvaf)
     else:
         for finder in live:

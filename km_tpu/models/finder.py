@@ -89,12 +89,24 @@ class VariantFinder:
         return a
 
     def path_seq(self, path, skip_prefix=True) -> str:
-        return classify.merge_kmers(self._keys_arr(), path, self.k,
-                                    skip_prefix=skip_prefix)
+        cache = self.__dict__.setdefault("_seq_cache", {})
+        key = (tuple(path), skip_prefix)
+        got = cache.get(key)
+        if got is None:
+            got = classify.merge_kmers(self._keys_arr(), path, self.k,
+                                       skip_prefix=skip_prefix)
+            cache[key] = got
+        return got
 
     def variant_name(self, ref_ix, path_ix, offset=0) -> str:
-        return classify.name_variant(self._keys_arr(), ref_ix, path_ix,
-                                     self.k, offset=offset)
+        cache = self.__dict__.setdefault("_name_cache", {})
+        key = (tuple(ref_ix), tuple(path_ix), offset)
+        got = cache.get(key)
+        if got is None:
+            got = classify.name_variant(self._keys_arr(), ref_ix,
+                                        path_ix, self.k, offset=offset)
+            cache[key] = got
+        return got
 
     # -- quantification ----------------------------------------------------
 
@@ -227,11 +239,23 @@ class VariantFinder:
         assert self.alt_paths is not None, "call find_alt_paths() first"
         ref_ix = self.target.seq_index
         jobs = []
+
+        def warm(ref, paths, offset):
+            # classification + sequence materialization need no
+            # coefficients: running them while the batched solve is in
+            # flight hides this host work under the device round trip
+            # (results land in the path_seq/variant_name caches)
+            self.path_seq(ref, skip_prefix=False)
+            for p in paths:
+                self.variant_name(ref, p, offset)
+                self.path_seq(p, skip_prefix=False)
+
         for alt_ix in self.alt_paths:
             jobs.append((
                 [alt_ix, ref_ix],
                 lambda coef, rvaf, a=alt_ix: self._emit_vs_ref(a, coef,
                                                                rvaf),
+                lambda a=alt_ix: warm(ref_ix, [a], 0),
             ))
         for i, (ref_path, clipped, start_off) in enumerate(
                 self._find_clusters(self.alt_paths)):
@@ -239,6 +263,7 @@ class VariantFinder:
                 [ref_path] + list(clipped),
                 lambda coef, rvaf, n=i + 1, r=ref_path, c=clipped, \
                     s=start_off: self._emit_cluster(n, r, c, s, coef, rvaf),
+                lambda r=ref_path, c=clipped, s=start_off: warm(r, c, s),
             ))
         return jobs
 

@@ -131,19 +131,24 @@ def _refine_kernel(contrib16, counts32, coef0, n_kmers):
 
 
 def solve_batch(problems, pad_paths: int | None = None,
-                pad_kmers: int | None = None):
+                pad_kmers: int | None = None, defer: bool = False):
     """Solve many NNLS problems in one device dispatch.
 
     problems: list of (paths, counts) — ``paths`` a list of node-index
     paths, ``counts`` the target's node count vector (shared by all of a
     target's problems). Returns a list of (coef, rvaf) float64 arrays
     trimmed to each problem's real path count.
+
+    defer=True instead returns a zero-arg ``fetch`` whose call
+    materializes that list — the device dispatch has already been
+    issued, so the caller can overlap host work (e.g. variant
+    naming/sequence materialization) with the solve + readback.
     """
     from ..models.quant import build_contrib, lstsq_fit, ratio_of, \
         refine_fit
 
     if not problems:
-        return []
+        return (lambda: []) if defer else []
 
     # the narrowed encodings are exact only within their ranges: float32
     # holds integers exactly below 2^24, int16 occurrence counts below
@@ -167,7 +172,7 @@ def solve_batch(problems, pad_paths: int | None = None,
                   np.asarray(ratio_of(coef_h), np.float64))
     dev_ix = [b for b in range(len(problems)) if b not in host_ix]
     if not dev_ix:
-        return out
+        return (lambda: out) if defer else out
 
     n_p = [len(problems[b][0]) for b in dev_ix]
     n_n = [len(problems[b][1]) for b in dev_ix]
@@ -197,9 +202,13 @@ def solve_batch(problems, pad_paths: int | None = None,
         coef0.reshape(-1).view(np.uint32),
         np.array(n_n, dtype=np.float64).view(np.uint32)])
     with jax.enable_x64():
-        both = np.asarray(_refine_blob(jnp.asarray(blob), B=B, N=N, P=P),
-                          dtype=np.float64)
+        both_dev = _refine_blob(jnp.asarray(blob), B=B, N=N, P=P)
+
+    def fetch():
+        both = np.asarray(both_dev, dtype=np.float64)
         coef, rvaf = both[0], both[1]
-    for i, b in enumerate(dev_ix):
-        out[b] = (coef[i, :n_p[i]], rvaf[i, :n_p[i]])
-    return out
+        for i, b in enumerate(dev_ix):
+            out[b] = (coef[i, :n_p[i]], rvaf[i, :n_p[i]])
+        return out
+
+    return fetch if defer else fetch()

@@ -46,8 +46,8 @@ def test_rows_byte_identical(jf, fa):
 
     f.rows = []
     jobs = f.quant_jobs()
-    sols = nnls.solve_batch([(paths, f.counts) for paths, _ in jobs])
-    for (_, emit), (coef, rvaf) in zip(jobs, sols):
+    sols = nnls.solve_batch([(paths, f.counts) for paths, _, _ in jobs])
+    for (_, emit, _), (coef, rvaf) in zip(jobs, sols):
         emit(coef, rvaf)
     assert [str(r) for r in f.sorted_rows()] == host_rows
 
@@ -58,7 +58,7 @@ def test_all_problems_one_dispatch():
     finders = [_finder(jf, fa) for jf, fa in FIXTURES]
     jobs, emits = [], []
     for f in finders:
-        for paths, emit in f.quant_jobs():
+        for paths, emit, _prewarm in f.quant_jobs():
             jobs.append((paths, f.counts))
             emits.append(emit)
     for emit, (coef, rvaf) in zip(emits, nnls.solve_batch(jobs)):
